@@ -1,0 +1,184 @@
+"""Property tests of the geometry ops against numpy oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pointcept_keypointdetection_tpu.ops as ops
+from pointcept_keypointdetection_tpu.ops.codes import (
+    Code64,
+    code_from_u64,
+    code_lexsort,
+    code_shr,
+    code_to_u64,
+    searchsorted_code,
+)
+from pointcept_keypointdetection_tpu.ops.sparse import (
+    SparseConvSpec,
+    build_kernel_map,
+    build_voxel_index,
+    sparse_conv,
+)
+from pointcept_keypointdetection_tpu.ops.voxelize import unique_with_capacity
+
+
+def test_code_shr_and_sort(rng):
+    vals = rng.integers(0, 2**63, 300, dtype=np.uint64)
+    code = code_from_u64(vals)
+    for shift in (0, 3, 17, 32, 45):
+        np.testing.assert_array_equal(code_to_u64(code_shr(code, shift)), vals >> np.uint64(shift))
+    perm = np.asarray(code_lexsort(code))
+    np.testing.assert_array_equal(vals[perm], np.sort(vals))
+
+
+def test_searchsorted_code(rng):
+    base = np.sort(rng.integers(0, 2**62, 500, dtype=np.uint64))
+    queries = np.concatenate([base[rng.integers(0, 500, 200)], rng.integers(0, 2**62, 200, dtype=np.uint64)])
+    got = np.asarray(searchsorted_code(code_from_u64(base), code_from_u64(queries)))
+    np.testing.assert_array_equal(got, np.searchsorted(base, queries, side="left"))
+
+
+def test_unique_with_capacity(rng):
+    n, cap = 400, 128
+    vals = rng.integers(0, 50, n, dtype=np.uint64)  # many duplicates
+    valid = rng.random(n) > 0.2
+    code = code_from_u64(vals)
+    perm, sorted_code, res = unique_with_capacity(code, jnp.asarray(valid), cap)
+    uniq = np.unique(vals[valid])
+    assert int(res.num_unique) == len(uniq)
+    # compacted slots hold the sorted unique codes
+    sc = code_to_u64(sorted_code)
+    head_codes = sc[np.asarray(res.head_index)[: len(uniq)]]
+    np.testing.assert_array_equal(head_codes, uniq)
+    # every valid sorted element maps to the right segment
+    seg = np.asarray(res.segment_ids)
+    sorted_valid = valid[np.asarray(perm)]
+    np.testing.assert_array_equal(uniq[seg[sorted_valid]], sc[sorted_valid])
+    # invalid elements get the capacity sentinel
+    assert (seg[~sorted_valid] == cap).all()
+
+
+def test_unique_overflow_drops_extras(rng):
+    vals = np.arange(100, dtype=np.uint64)
+    code = code_from_u64(vals)
+    _, _, res = unique_with_capacity(code, jnp.ones(100, bool), 32)
+    assert int(res.num_unique) == 100
+    assert int(res.out_valid.sum()) == 32
+    assert (np.asarray(res.segment_ids) >= 32).sum() == 68
+
+
+def _np_subm_conv(coords, batch, valid, feat, weight, offsets):
+    """Oracle: dict-based submanifold convolution."""
+    table = {}
+    for i in range(len(coords)):
+        if valid[i]:
+            table[(batch[i], *coords[i])] = i
+    out = np.zeros((feat.shape[0], weight.shape[2]), np.float32)
+    for i in range(len(coords)):
+        if not valid[i]:
+            continue
+        for k, off in enumerate(offsets):
+            key = (batch[i], *(coords[i] + np.array(off)))
+            j = table.get(key)
+            if j is not None:
+                out[i] += feat[j] @ weight[k]
+    return out
+
+
+@pytest.mark.parametrize("kernel_size", [3])
+@pytest.mark.parametrize("path", ["im2col", "scan"])
+def test_sparse_conv_matches_oracle(rng, kernel_size, path):
+    n, cin, cout = 256, 8, 16
+    coords = rng.integers(0, 12, (n, 3)).astype(np.int32)
+    batch = rng.integers(0, 2, n).astype(np.int32)
+    valid = rng.random(n) > 0.1
+    # dedup (voxel grids are unique per sample after GridSample)
+    _, first = np.unique(
+        batch.astype(np.int64) * 10**6 + coords[:, 0] * 10**4 + coords[:, 1] * 10**2 + coords[:, 2],
+        return_index=True,
+    )
+    keep = np.zeros(n, bool)
+    keep[first] = True
+    valid &= keep
+
+    feat = rng.normal(size=(n, cin)).astype(np.float32)
+    feat[~valid] = 0
+    spec = SparseConvSpec.cube(kernel_size)
+    weight = rng.normal(size=(len(spec.offsets), cin, cout)).astype(np.float32) * 0.1
+
+    index = build_voxel_index(jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid), depth=8)
+    kmap = build_kernel_map(index, jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid), spec, depth=8)
+    out = sparse_conv(
+        jnp.asarray(feat),
+        kmap,
+        jnp.asarray(weight),
+        im2col_max_width=4096 if path == "im2col" else 1,
+    )
+    expected = _np_subm_conv(coords, batch, valid, feat, weight, spec.offsets)
+    np.testing.assert_allclose(np.asarray(out)[valid], expected[valid], rtol=2e-4, atol=2e-4)
+
+
+def test_segment_reduce(rng):
+    n, m, c = 200, 32, 4
+    seg = rng.integers(0, m + 1, n)  # m = dropped sentinel
+    data = rng.normal(size=(n, c)).astype(np.float32)
+    for reduce in ("sum", "mean", "max", "min"):
+        out = np.asarray(ops.segment_reduce(jnp.asarray(data), jnp.asarray(seg), m, reduce))
+        for s in range(m):
+            rows = data[seg == s]
+            if len(rows) == 0:
+                np.testing.assert_allclose(out[s], 0)
+            else:
+                expected = dict(
+                    sum=rows.sum(0), mean=rows.mean(0), max=rows.max(0), min=rows.min(0)
+                )[reduce]
+                np.testing.assert_allclose(out[s], expected, rtol=1e-5, atol=1e-5)
+
+
+def test_knn_matches_numpy(rng):
+    q, n, k = 64, 300, 5
+    query = rng.normal(size=(q, 3)).astype(np.float32)
+    base = rng.normal(size=(n, 3)).astype(np.float32)
+    qb = rng.integers(0, 2, q).astype(np.int32)
+    bb = rng.integers(0, 2, n).astype(np.int32)
+    bvalid = rng.random(n) > 0.1
+
+    idx, sqd = ops.knn(
+        jnp.asarray(query), jnp.asarray(base), k,
+        query_batch=jnp.asarray(qb), base_batch=jnp.asarray(bb), base_valid=jnp.asarray(bvalid),
+        chunk=64,
+    )
+    idx, sqd = np.asarray(idx), np.asarray(sqd)
+    d_all = ((query[:, None, :] - base[None, :, :]) ** 2).sum(-1)
+    d_all[:, ~bvalid] = np.inf
+    d_all[qb[:, None] != bb[None, :]] = np.inf
+    expected = np.sort(d_all, axis=1)[:, :k]
+    np.testing.assert_allclose(np.sort(sqd, axis=1), expected, rtol=1e-4, atol=1e-4)
+    # indices actually achieve those distances
+    np.testing.assert_allclose(
+        np.take_along_axis(d_all, idx, axis=1), sqd, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_three_nn_interpolate_exact_at_source(rng):
+    n, c = 50, 6
+    base = rng.normal(size=(n, 3)).astype(np.float32)
+    feat = rng.normal(size=(n, c)).astype(np.float32)
+    out = ops.three_nn_interpolate(jnp.asarray(base), jnp.asarray(base), jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(out), feat, rtol=1e-3, atol=1e-3)
+
+
+def test_fps_spreads_points(rng):
+    n = 256
+    coord = rng.normal(size=(n, 3)).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[200:] = False
+    idx = np.asarray(ops.farthest_point_sampling(jnp.asarray(coord), 32, jnp.asarray(valid)))
+    assert (idx < 200).all()
+    assert len(np.unique(idx)) == 32
+    # FPS min pairwise distance should beat random sampling's
+    sel = coord[idx]
+    d = ((sel[:, None] - sel[None, :]) ** 2).sum(-1) + np.eye(32) * 1e9
+    rand = coord[rng.choice(200, 32, replace=False)]
+    dr = ((rand[:, None] - rand[None, :]) ** 2).sum(-1) + np.eye(32) * 1e9
+    assert d.min() > dr.min() * 0.9

@@ -1,0 +1,97 @@
+import os
+
+import numpy as np
+import pytest
+
+from pointcept_keypointdetection_tpu.utils import Config, DictAction, EventStorage, Registry
+from pointcept_keypointdetection_tpu.utils.misc import intersection_and_union, intersection_and_union_jax
+
+
+def test_registry_build():
+    R = Registry("things")
+
+    @R.register_module()
+    class Thing:
+        def __init__(self, a, b=2):
+            self.a, self.b = a, b
+
+    obj = R.build(dict(type="Thing", a=1))
+    assert obj.a == 1 and obj.b == 2
+    with pytest.raises(KeyError):
+        R.build(dict(type="Missing"))
+    with pytest.raises(KeyError):
+
+        @R.register_module()  # duplicate
+        class Thing:  # noqa
+            pass
+
+
+def test_config_base_merge(tmp_path):
+    base = tmp_path / "base.py"
+    base.write_text("model = dict(type='A', depth=2, head=dict(k=1))\nlr = 0.1\n")
+    child = tmp_path / "child.py"
+    child.write_text(
+        "_base_ = ['base.py']\n"
+        "model = dict(depth=3, head=dict(_delete_=True, j=9))\n"
+        "extra = [1, 2]\n"
+    )
+    cfg = Config.fromfile(str(child))
+    assert cfg.model.type == "A"
+    assert cfg.model.depth == 3
+    assert cfg.model.head == dict(j=9)  # _delete_ replaced the dict
+    assert cfg.lr == 0.1
+    assert cfg.extra == [1, 2]
+
+    cfg.merge_from_dict({"model.depth": 7, "new.nested": True})
+    assert cfg.model.depth == 7
+    assert cfg.new.nested is True
+
+    # dump/reload roundtrip
+    out = tmp_path / "dump.py"
+    cfg.dump(str(out))
+    cfg2 = Config.fromfile(str(out))
+    assert cfg2.model.depth == 7
+
+
+def test_dict_action_parsing():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--options", nargs="+", action=DictAction)
+    ns = p.parse_args(["--options", "a=1", "b.c=[1,2]", "d=true", "e=hello"])
+    assert ns.options == {"a": 1, "b.c": [1, 2], "d": True, "e": "hello"}
+
+
+def test_event_storage():
+    with EventStorage(window_size=3) as storage:
+        for v in [1.0, 2.0, 3.0, 4.0]:
+            storage.put_scalar("loss", v)
+        assert storage.history("loss").latest == 4.0
+        assert storage.history("loss").avg() == 3.0  # window of last 3
+        assert storage.history("loss").global_avg() == 2.5
+
+
+def test_intersection_and_union_matches_numpy():
+    rng = np.random.default_rng(0)
+    K = 5
+    pred = rng.integers(0, K, 1000)
+    target = rng.integers(-1, K, 1000)  # includes ignore_index
+    i_np, u_np, t_np = intersection_and_union(pred, target, K, ignore_index=-1)
+
+    import jax.numpy as jnp
+
+    i_j, u_j, t_j = intersection_and_union_jax(jnp.asarray(pred), jnp.asarray(target), K, ignore_index=-1)
+    np.testing.assert_array_equal(np.asarray(i_j), i_np)
+    np.testing.assert_array_equal(np.asarray(u_j), u_np)
+    np.testing.assert_array_equal(np.asarray(t_j), t_np)
+
+
+def test_intersection_and_union_jax_respects_mask():
+    import jax.numpy as jnp
+
+    pred = jnp.array([0, 1, 2, 2])
+    target = jnp.array([0, 1, 1, 2])
+    mask = jnp.array([True, True, True, False])
+    i, u, t = intersection_and_union_jax(pred, target, 3, valid_mask=mask)
+    np.testing.assert_array_equal(np.asarray(i), [1, 1, 0])
+    np.testing.assert_array_equal(np.asarray(t), [1, 2, 0])

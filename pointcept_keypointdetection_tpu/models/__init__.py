@@ -1,0 +1,6 @@
+from .builder import MODELS, MODULES, build_model
+from .structure import PointBatch
+from .norm import MaskedBatchNorm, LayerNorm, DropPath
+from . import default  # noqa: F401  (registers task wrappers)
+from . import sparse_unet  # noqa: F401
+from . import losses  # noqa: F401

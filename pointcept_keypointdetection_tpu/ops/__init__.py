@@ -10,7 +10,7 @@ from .serialization import (
     encode,
 )
 from .segment import segment_sum, segment_mean, segment_max, segment_min, segment_reduce
-from .voxelize import unique_with_capacity
+from .voxelize import unique_with_capacity, slotted_unique, SlottedUniqueResult
 from .sparse import build_kernel_map, sparse_conv, SparseConvSpec
 from .knn import knn, ball_query, three_nn_interpolate
 from .sampling import farthest_point_sampling

@@ -1,0 +1,108 @@
+"""Padded-slot collation: sample dicts -> fixed-shape batch arrays.
+
+The TPU re-design of the reference's ragged ``collate_fn`` /
+``point_collate_fn`` (`pointcept/datasets/utils.py:16-138`): instead of
+offset-chained concatenation, every sample is padded (or truncated with a
+random subsample) to exactly ``slot_size`` points, producing ``[B*S, ...]``
+arrays plus a validity mask — the shapes XLA compiles once.
+
+Mix3D-style batch mixing (``mix_prob``) is preserved: two adjacent samples are
+fused into one double-width slot (both clouds valid in one slot), the other
+slot left empty, matching the reference's drop-every-other-offset semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+PER_POINT_KEYS = (
+    "coord",
+    "grid_coord",
+    "feat",
+    "segment",
+    "instance",
+    "displacement",
+    "keypoint_offset",
+    "keypoint_mask",
+    "inverse",
+    "index",
+)
+PER_SAMPLE_KEYS = ("keypoint", "category", "scale", "centroid", "condition", "weight_label")
+
+_PAD_VALUES = {"segment": -1, "instance": -1}
+
+
+def pad_sample(sample: Dict[str, np.ndarray], slot_size: int) -> Dict[str, np.ndarray]:
+    """Pad/subsample every per-point array in a sample dict to slot_size rows."""
+    n = sample["coord"].shape[0]
+    out = dict(sample)
+    if n > slot_size:
+        idx = np.random.choice(n, slot_size, replace=False)
+        for key in PER_POINT_KEYS:
+            if key in out:
+                out[key] = out[key][idx]
+        n = slot_size
+    valid = np.zeros(slot_size, bool)
+    valid[:n] = True
+    for key in PER_POINT_KEYS:
+        if key in out:
+            arr = out[key]
+            pad_width = [(0, slot_size - n)] + [(0, 0)] * (arr.ndim - 1)
+            out[key] = np.pad(arr, pad_width, constant_values=_PAD_VALUES.get(key, 0))
+    out["valid"] = valid
+    return out
+
+
+def collate(
+    samples: List[Dict[str, np.ndarray]],
+    slot_size: int,
+    mix_prob: float = 0.0,
+) -> Dict[str, np.ndarray]:
+    """Collate sample dicts into a batch dict of [B*S, ...] arrays.
+
+    With probability ``mix_prob``, adjacent sample pairs are fused Mix3D-style
+    (`datasets/utils.py:72-138`): pair (2i, 2i+1) shares slot 2i (each half the
+    slot), and slot 2i+1 is empty.
+    """
+    b = len(samples)
+    mixed = mix_prob > 0 and np.random.rand() < mix_prob and b % 2 == 0
+    if mixed:
+        half = slot_size // 2
+        padded = [pad_sample(s, half) for s in samples]
+        fused = []
+        for i in range(0, b, 2):
+            merged = {}
+            for key in padded[i]:
+                if key == "valid" or (key in PER_POINT_KEYS and key in padded[i]):
+                    merged[key] = np.concatenate([padded[i][key], padded[i + 1][key]], axis=0)
+                else:
+                    merged[key] = padded[i][key]
+            fused.append(merged)
+            empty = {k: np.zeros_like(v) for k, v in merged.items()}
+            empty["valid"] = np.zeros(slot_size, bool)
+            if "segment" in empty:
+                empty["segment"] = np.full_like(merged["segment"], -1)
+            fused.append(empty)
+        padded = fused
+    else:
+        padded = [pad_sample(s, slot_size) for s in samples]
+
+    batch: Dict[str, np.ndarray] = {}
+    keys = padded[0].keys()
+    for key in keys:
+        arrs = [p[key] for p in padded]
+        if isinstance(arrs[0], str):
+            batch[key] = arrs
+        elif key == "valid" or key in PER_POINT_KEYS:
+            batch[key] = np.concatenate(arrs, axis=0)
+        else:
+            batch[key] = np.stack(arrs, axis=0)
+    # canonical dtypes for the device side
+    for key, dtype in (("grid_coord", np.int32), ("segment", np.int32), ("instance", np.int32),
+                       ("coord", np.float32), ("feat", np.float32)):
+        if key in batch and not isinstance(batch[key], list):
+            batch[key] = batch[key].astype(dtype)
+    batch["num_samples"] = b
+    return batch

@@ -1,0 +1,159 @@
+"""Directory-of-.npy dataset readers.
+
+Parity surface: `pointcept/datasets/defaults.py` — ``DefaultDataset`` loads
+scene folders of per-asset ``.npy`` files (coord/color/normal/strength/
+segment/instance), applies the transform pipeline in train mode, and builds
+the TTA fragment pipeline in test mode (aug variants x GridSample(test) parts
+x crops).  ``loop`` multiplies the epoch length exactly as the reference does
+(`engines/defaults.py:123`).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from copy import deepcopy
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..utils.logger import get_root_logger
+from .builder import DATASETS
+from .transform import TRANSFORMS, Compose
+
+VALID_ASSETS = ("coord", "color", "normal", "strength", "segment", "instance", "pose")
+
+
+@DATASETS.register_module()
+class DefaultDataset:
+    def __init__(
+        self,
+        split="train",
+        data_root="data/dataset",
+        transform=None,
+        test_mode=False,
+        test_cfg=None,
+        loop=1,
+        ignore_index=-1,
+    ):
+        self.data_root = data_root
+        self.split = split
+        self.transform = Compose(transform)
+        self.loop = loop if not test_mode else 1
+        self.test_mode = test_mode
+        self.test_cfg = test_cfg if test_mode else None
+        self.ignore_index = ignore_index
+
+        if test_mode:
+            self.test_voxelize = (
+                TRANSFORMS.build(self.test_cfg["voxelize"]) if self.test_cfg.get("voxelize") else None
+            )
+            self.test_crop = TRANSFORMS.build(self.test_cfg["crop"]) if self.test_cfg.get("crop") else None
+            self.post_transform = Compose(self.test_cfg.get("post_transform"))
+            self.aug_transform = [Compose(aug) for aug in self.test_cfg.get("aug_transform", [[]])]
+
+        self.data_list = self.get_data_list()
+        get_root_logger().info(
+            "Totally %d x %d samples in %s set.", len(self.data_list), self.loop, split
+        )
+
+    def get_data_list(self):
+        if isinstance(self.split, str):
+            return glob.glob(os.path.join(self.data_root, self.split, "*"))
+        data_list = []
+        for split in self.split:
+            data_list += glob.glob(os.path.join(self.data_root, split, "*"))
+        return sorted(data_list)
+
+    def get_data(self, idx):
+        data_path = self.data_list[idx % len(self.data_list)]
+        data_dict = {}
+        assets = os.listdir(data_path)
+        for asset in assets:
+            if not asset.endswith(".npy"):
+                continue
+            name = asset[:-4]
+            if name not in VALID_ASSETS:
+                continue
+            data_dict[name] = np.load(os.path.join(data_path, asset))
+        data_dict["name"] = self.get_data_name(idx)
+        if "coord" in data_dict:
+            data_dict["coord"] = data_dict["coord"].astype(np.float32)
+        if "color" in data_dict:
+            data_dict["color"] = data_dict["color"].astype(np.float32)
+        if "normal" in data_dict:
+            data_dict["normal"] = data_dict["normal"].astype(np.float32)
+        if "segment" in data_dict:
+            data_dict["segment"] = data_dict["segment"].reshape(-1).astype(np.int32)
+        else:
+            data_dict["segment"] = np.ones(data_dict["coord"].shape[0], np.int32) * -1
+        if "instance" in data_dict:
+            data_dict["instance"] = data_dict["instance"].reshape(-1).astype(np.int32)
+        return data_dict
+
+    def get_data_name(self, idx):
+        return os.path.basename(self.data_list[idx % len(self.data_list)])
+
+    def prepare_train_data(self, idx):
+        return self.transform(self.get_data(idx))
+
+    def prepare_test_data(self, idx):
+        """TTA fragment pipeline (`datasets/defaults.py:162-193`)."""
+        data_dict = self.get_data(idx)
+        data_dict = self.transform(data_dict)
+        result_dict = dict(segment=data_dict.pop("segment"), name=data_dict.pop("name"))
+        if "origin_segment" in data_dict:
+            result_dict["origin_segment"] = data_dict.pop("origin_segment")
+        if "inverse" in data_dict:
+            result_dict["inverse"] = data_dict.pop("inverse")
+
+        data_dict_list = []
+        for aug in self.aug_transform:
+            data_dict_list.append(aug(deepcopy(data_dict)))
+
+        fragment_list = []
+        for data in data_dict_list:
+            if self.test_voxelize is not None:
+                data_part_list = self.test_voxelize(data)
+            else:
+                data["index"] = np.arange(data["coord"].shape[0])
+                data_part_list = [data]
+            for data_part in data_part_list:
+                if self.test_crop is not None:
+                    data_part = self.test_crop(data_part)
+                else:
+                    data_part = [data_part]
+                fragment_list += data_part
+        for i in range(len(fragment_list)):
+            fragment_list[i] = self.post_transform(fragment_list[i])
+        result_dict["fragment_list"] = fragment_list
+        return result_dict
+
+    def __getitem__(self, idx):
+        if self.test_mode:
+            return self.prepare_test_data(idx)
+        return self.prepare_train_data(idx)
+
+    def __len__(self):
+        return len(self.data_list) * self.loop
+
+
+@DATASETS.register_module()
+class ConcatDataset:
+    """Concatenation of datasets (`datasets/defaults.py:465-502`)."""
+
+    def __init__(self, datasets, loop=1):
+        from .builder import build_dataset
+
+        self.datasets = [build_dataset(d) for d in datasets]
+        self.loop = loop
+        self.data_list = []
+        for i, ds in enumerate(self.datasets):
+            self.data_list.extend([(i, j) for j in range(len(ds))])
+
+    def __getitem__(self, idx):
+        ds_idx, sample_idx = self.data_list[idx % len(self.data_list)]
+        return self.datasets[ds_idx][sample_idx]
+
+    def __len__(self):
+        return len(self.data_list) * self.loop

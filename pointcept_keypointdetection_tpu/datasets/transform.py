@@ -1,0 +1,509 @@
+"""Host-side (numpy) data transform pipeline.
+
+Parity surface: `pointcept/datasets/transform.py` — the registered transform
+ops used by the supported configs: Collect/Copy/Update/NormalizeColor/
+NormalizeCoord/CenterShift/RandomShift/PointClip/RandomDropout/RandomRotate/
+RandomRotateTargetAngle/RandomScale/RandomFlip/RandomJitter/
+ChromaticAutoContrast/ChromaticTranslation/ChromaticJitter/ElasticDistortion/
+GridSample/SphereCrop/ShufflePoint/CropBoundary.  Semantics follow the
+reference (cited per class); implementation is fresh numpy.
+
+Transforms run on the host before padding/collation; ``ToTensor`` is identity
+(device transfer happens at collation).
+"""
+
+from __future__ import annotations
+
+import copy
+import numbers
+from collections.abc import Mapping, Sequence
+
+import numpy as np
+import scipy.ndimage
+import scipy.interpolate
+
+from ..utils.registry import Registry
+
+TRANSFORMS = Registry("transforms")
+
+# keys indexed per-point by index-based ops (reference `index_valid_keys`,
+# transform.py:24-45)
+VALID_INDEX_KEYS = (
+    "coord",
+    "color",
+    "normal",
+    "strength",
+    "segment",
+    "instance",
+    "displacement",
+    "grid_coord",
+    "keypoint_offset",
+    "keypoint_mask",
+)
+
+
+def index_operator(data_dict, index, duplicate=False):
+    if not duplicate:
+        for key in data_dict.get("index_valid_keys", VALID_INDEX_KEYS):
+            if key in data_dict:
+                data_dict[key] = data_dict[key][index]
+        return data_dict
+    out = dict(data_dict)
+    for key in data_dict.get("index_valid_keys", VALID_INDEX_KEYS):
+        if key in out:
+            out[key] = out[key][index]
+    return out
+
+
+class Compose:
+    def __init__(self, cfg=None):
+        self.cfg = cfg if cfg is not None else []
+        self.transforms = [TRANSFORMS.build(t) for t in self.cfg]
+
+    def __call__(self, data_dict):
+        for t in self.transforms:
+            data_dict = t(data_dict)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class Collect:
+    """Select keys; concat ``feat_keys`` into 'feat'. (`transform.py:47-86`)"""
+
+    def __init__(self, keys, feat_keys=("coord",), **kwargs):
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.feat_keys = [feat_keys] if isinstance(feat_keys, str) else list(feat_keys)
+
+    def __call__(self, data_dict):
+        out = {}
+        for key in self.keys:
+            out[key] = data_dict[key]
+        feats = [data_dict[k] for k in self.feat_keys]
+        feats = [f.reshape(f.shape[0], -1) if f.ndim > 1 else f.reshape(-1, 1) for f in feats]
+        out["feat"] = np.concatenate(feats, axis=1).astype(np.float32)
+        return out
+
+
+@TRANSFORMS.register_module()
+class Copy:
+    def __init__(self, keys_dict=None):
+        self.keys_dict = keys_dict or dict(coord="origin_coord", segment="origin_segment")
+
+    def __call__(self, data_dict):
+        for src, dst in self.keys_dict.items():
+            if src in data_dict:
+                data_dict[dst] = copy.deepcopy(data_dict[src])
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class Update:
+    def __init__(self, keys_dict=None):
+        self.keys_dict = keys_dict or {}
+
+    def __call__(self, data_dict):
+        data_dict.update(self.keys_dict)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ToTensor:
+    """Identity on host; retained for config compatibility."""
+
+    def __call__(self, data_dict):
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class NormalizeColor:
+    """color/127.5 - 1 (`transform.py:268-276`)"""
+
+    def __call__(self, data_dict):
+        if "color" in data_dict:
+            data_dict["color"] = data_dict["color"] / 127.5 - 1
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class NormalizeCoord:
+    """center + unit-sphere scale (`transform.py:279-290`)"""
+
+    def __call__(self, data_dict):
+        coord = data_dict["coord"]
+        centroid = np.mean(coord, axis=0)
+        coord = coord - centroid
+        m = np.max(np.sqrt(np.sum(coord**2, axis=1)))
+        data_dict["coord"] = coord / m
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class PositiveShift:
+    """shift coords to be non-negative (`transform.py:293-300`)"""
+
+    def __call__(self, data_dict):
+        data_dict["coord"] = data_dict["coord"] - np.min(data_dict["coord"], axis=0)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class CenterShift:
+    """center xy (and optionally z-min) (`transform.py:303-315`)"""
+
+    def __init__(self, apply_z=True):
+        self.apply_z = apply_z
+
+    def __call__(self, data_dict):
+        coord = data_dict["coord"]
+        x_min, y_min, z_min = coord.min(axis=0)
+        x_max, y_max, _ = coord.max(axis=0)
+        if self.apply_z:
+            shift = [(x_min + x_max) / 2, (y_min + y_max) / 2, z_min]
+        else:
+            shift = [(x_min + x_max) / 2, (y_min + y_max) / 2, 0]
+        data_dict["coord"] = coord - shift
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomShift:
+    def __init__(self, shift=((-0.2, 0.2), (-0.2, 0.2), (0, 0))):
+        self.shift = shift
+
+    def __call__(self, data_dict):
+        s = [np.random.uniform(lo, hi) for lo, hi in self.shift]
+        data_dict["coord"] = data_dict["coord"] + s
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class PointClip:
+    def __init__(self, point_cloud_range=(-80, -80, -3, 80, 80, 1)):
+        self.range = point_cloud_range
+
+    def __call__(self, data_dict):
+        data_dict["coord"] = np.clip(
+            data_dict["coord"], self.range[:3], self.range[3:]
+        )
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomDropout:
+    def __init__(self, dropout_ratio=0.2, dropout_application_ratio=0.5):
+        self.dropout_ratio = dropout_ratio
+        self.dropout_application_ratio = dropout_application_ratio
+
+    def __call__(self, data_dict):
+        if np.random.random() < self.dropout_application_ratio:
+            n = len(data_dict["coord"])
+            idx = np.random.choice(n, int(n * (1 - self.dropout_ratio)), replace=False)
+            data_dict = index_operator(data_dict, idx)
+        return data_dict
+
+
+def _rotation_matrix(axis: str, angle: float) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    if axis == "x":
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+    if axis == "y":
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+
+@TRANSFORMS.register_module()
+class RandomRotate:
+    """rotate around axis about cloud center (`transform.py:410-450`)"""
+
+    def __init__(self, angle=None, center=None, axis="z", always_apply=False, p=0.5, keypoint_keys=()):
+        self.angle = [-1, 1] if angle is None else angle
+        self.axis = axis
+        self.always_apply = always_apply
+        self.p = p if not always_apply else 1.0
+        self.center = center
+        self.keypoint_keys = keypoint_keys
+
+    def __call__(self, data_dict):
+        if np.random.random() > self.p:
+            return data_dict
+        angle = np.random.uniform(self.angle[0], self.angle[1]) * np.pi
+        rot = _rotation_matrix(self.axis, angle)
+        coord = data_dict["coord"]
+        if self.center is None:
+            lo, hi = coord.min(0), coord.max(0)
+            center = (lo + hi) / 2
+        else:
+            center = self.center
+        data_dict["coord"] = (coord - center) @ rot.T + center
+        if "normal" in data_dict:
+            data_dict["normal"] = data_dict["normal"] @ rot.T
+        for key in self.keypoint_keys:
+            if key in data_dict:
+                data_dict[key] = (data_dict[key] - center) @ rot.T + center
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomRotateTargetAngle(RandomRotate):
+    def __init__(self, angle=(1 / 2, 1, 3 / 2), center=None, axis="z", always_apply=False, p=0.75):
+        super().__init__(angle=angle, center=center, axis=axis, always_apply=always_apply, p=p)
+
+    def __call__(self, data_dict):
+        if np.random.random() > self.p:
+            return data_dict
+        angle = np.random.choice(self.angle) * np.pi
+        rot = _rotation_matrix(self.axis, angle)
+        coord = data_dict["coord"]
+        if self.center is None:
+            lo, hi = coord.min(0), coord.max(0)
+            center = (lo + hi) / 2
+        else:
+            center = self.center
+        data_dict["coord"] = (coord - center) @ rot.T + center
+        if "normal" in data_dict:
+            data_dict["normal"] = data_dict["normal"] @ rot.T
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomScale:
+    def __init__(self, scale=None, anisotropic=False):
+        self.scale = scale if scale is not None else [0.95, 1.05]
+        self.anisotropic = anisotropic
+
+    def __call__(self, data_dict):
+        s = np.random.uniform(self.scale[0], self.scale[1], 3 if self.anisotropic else 1)
+        data_dict["coord"] = data_dict["coord"] * s
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomFlip:
+    def __init__(self, p=0.5):
+        self.p = p
+
+    def __call__(self, data_dict):
+        for axis in (0, 1):
+            if np.random.random() < self.p:
+                data_dict["coord"][:, axis] = -data_dict["coord"][:, axis]
+                if "normal" in data_dict:
+                    data_dict["normal"][:, axis] = -data_dict["normal"][:, axis]
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomJitter:
+    def __init__(self, sigma=0.01, clip=0.05):
+        self.sigma = sigma
+        self.clip = clip
+
+    def __call__(self, data_dict):
+        jitter = np.clip(
+            self.sigma * np.random.randn(*data_dict["coord"].shape), -self.clip, self.clip
+        )
+        data_dict["coord"] = data_dict["coord"] + jitter
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ChromaticAutoContrast:
+    def __init__(self, p=0.2, blend_factor=None):
+        self.p = p
+        self.blend_factor = blend_factor
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.random() < self.p:
+            color = data_dict["color"]
+            lo = np.min(color, axis=0, keepdims=True)
+            hi = np.max(color, axis=0, keepdims=True)
+            scale = 255 / np.maximum(hi - lo, 1e-6)
+            contrast = (color - lo) * scale
+            blend = self.blend_factor if self.blend_factor is not None else np.random.random()
+            data_dict["color"] = (1 - blend) * color + blend * contrast
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ChromaticTranslation:
+    def __init__(self, p=0.95, ratio=0.05):
+        self.p = p
+        self.ratio = ratio
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.random() < self.p:
+            tr = (np.random.random((1, 3)) - 0.5) * 255 * 2 * self.ratio
+            data_dict["color"] = np.clip(data_dict["color"] + tr, 0, 255)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ChromaticJitter:
+    def __init__(self, p=0.95, std=0.005):
+        self.p = p
+        self.std = std
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.random() < self.p:
+            noise = np.random.randn(data_dict["color"].shape[0], 3) * self.std * 255
+            data_dict["color"] = np.clip(data_dict["color"] + noise, 0, 255)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ElasticDistortion:
+    """granularity/magnitude blurred-noise displacement (`transform.py:765-823`)"""
+
+    def __init__(self, distortion_params=None):
+        self.params = [[0.2, 0.4], [0.8, 1.6]] if distortion_params is None else distortion_params
+
+    @staticmethod
+    def _distort(coords, granularity, magnitude):
+        blurs = [np.ones((3, 1, 1, 1)) / 3, np.ones((1, 3, 1, 1)) / 3, np.ones((1, 1, 3, 1)) / 3]
+        coords_min = coords.min(0)
+        dims = ((coords - coords_min).max(0) // granularity).astype(int) + 3
+        noise = np.random.randn(*dims, 3).astype(np.float32)
+        for _ in range(2):
+            for blur in blurs:
+                noise = scipy.ndimage.convolve(noise, blur, mode="constant", cval=0)
+        ax = [np.linspace(d_min, d_max, d) for d_min, d_max, d in zip(coords_min - granularity, coords_min + granularity * (dims - 2), dims)]
+        interp = scipy.interpolate.RegularGridInterpolator(ax, noise, bounds_error=False, fill_value=0)
+        return coords + interp(coords) * magnitude
+
+    def __call__(self, data_dict):
+        if "coord" in data_dict and self.params is not None:
+            for granularity, magnitude in self.params:
+                data_dict["coord"] = self._distort(data_dict["coord"], granularity, magnitude)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class GridSample:
+    """Hash-based voxel down-sampling (`transform.py:826-963`).
+
+    train mode: one random point per voxel; test mode: list of exhaustive
+    per-voxel splits.  Always emits ``grid_coord`` (the TPU model plane
+    requires it); optional inverse map for full-resolution projection.
+    """
+
+    def __init__(
+        self,
+        grid_size=0.05,
+        hash_type="fnv",
+        mode="train",
+        return_inverse=False,
+        return_grid_coord=True,
+        return_min_coord=False,
+        return_displacement=False,
+        project_displacement=False,
+    ):
+        self.grid_size = grid_size
+        self.mode = mode
+        self.return_inverse = return_inverse
+        self.return_grid_coord = return_grid_coord
+        self.return_min_coord = return_min_coord
+        self.return_displacement = return_displacement
+        self.project_displacement = project_displacement
+
+    def __call__(self, data_dict):
+        coord = data_dict["coord"]
+        scaled = coord / self.grid_size
+        grid_coord = np.floor(scaled).astype(np.int64)
+        min_coord = grid_coord.min(0)
+        grid_coord = grid_coord - min_coord
+        scaled = scaled - min_coord
+        min_coord = min_coord * self.grid_size
+
+        # 48-bit Morton key (exact, no hash collisions) — unlike the
+        # reference's FNV this is also the serialization key, so the sort is
+        # shared downstream.
+        from ..ops.serialization import z_order_encode_np
+
+        assert grid_coord.max() < 2**16, "scene exceeds 16-bit voxel extent"
+        key = z_order_encode_np(grid_coord, depth=16)
+        idx_sort = np.argsort(key, kind="stable")
+        key_sort = key[idx_sort]
+        _, inverse, count = np.unique(key_sort, return_inverse=True, return_counts=True)
+        if self.mode == "train":
+            idx_select = np.cumsum(np.insert(count, 0, 0)[0:-1]) + np.random.randint(
+                0, count.max(), count.size
+            ) % count
+            idx_unique = idx_sort[idx_select]
+            if "sampled_index" in data_dict:
+                idx_unique = np.unique(np.append(idx_unique, data_dict["sampled_index"]))
+                mask = np.zeros(len(data_dict["segment"]), bool)
+                mask[data_dict["sampled_index"]] = True
+                data_dict["sampled_index"] = np.where(mask[idx_unique])[0]
+            if self.return_inverse:
+                data_dict["inverse"] = np.zeros_like(inverse)
+                data_dict["inverse"][idx_sort] = inverse
+            if self.return_displacement:
+                displacement = scaled - grid_coord - 0.5
+                if self.project_displacement:
+                    displacement = np.sum(displacement * data_dict["normal"], axis=-1, keepdims=True)
+                data_dict["displacement"] = displacement
+            data_dict["grid_coord"] = grid_coord
+            data_dict = index_operator(data_dict, idx_unique)
+            if self.return_min_coord:
+                data_dict["min_coord"] = min_coord.reshape(1, 3)
+            if not self.return_grid_coord:
+                data_dict.pop("grid_coord")
+            return data_dict
+
+        elif self.mode == "test":
+            data_part_list = []
+            for i in range(count.max()):
+                idx_select = np.cumsum(np.insert(count, 0, 0)[0:-1]) + i % count
+                idx_part = idx_sort[idx_select]
+                data_dict["grid_coord"] = grid_coord
+                data_part = index_operator(data_dict, idx_part, duplicate=True)
+                data_part["index"] = idx_part
+                if self.return_inverse:
+                    data_part["inverse"] = np.zeros_like(inverse)
+                    data_part["inverse"][idx_sort] = inverse
+                if self.return_min_coord:
+                    data_part["min_coord"] = min_coord.reshape(1, 3)
+                data_part_list.append(data_part)
+            return data_part_list
+        raise NotImplementedError(self.mode)
+
+
+@TRANSFORMS.register_module()
+class SphereCrop:
+    """cap point count by nearest-to-center crop (`transform.py:966-1009`)"""
+
+    def __init__(self, point_max=80000, sample_rate=None, mode="random"):
+        self.point_max = point_max
+        self.sample_rate = sample_rate
+        assert mode in ("random", "center", "all")
+        self.mode = mode
+
+    def __call__(self, data_dict):
+        point_max = (
+            int(self.sample_rate * data_dict["coord"].shape[0])
+            if self.sample_rate is not None
+            else self.point_max
+        )
+        coord = data_dict["coord"]
+        if coord.shape[0] > point_max:
+            if self.mode == "random":
+                center = coord[np.random.randint(coord.shape[0])]
+            else:
+                center = coord[coord.shape[0] // 2]
+            idx = np.argsort(np.sum((coord - center) ** 2, axis=1))[:point_max]
+            data_dict = index_operator(data_dict, idx)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ShufflePoint:
+    def __call__(self, data_dict):
+        idx = np.random.permutation(data_dict["coord"].shape[0])
+        return index_operator(data_dict, idx)
+
+
+@TRANSFORMS.register_module()
+class CropBoundary:
+    def __call__(self, data_dict):
+        segment = data_dict["segment"].flatten()
+        mask = (segment != 0) * (segment != 1)
+        return index_operator(data_dict, np.where(mask)[0])

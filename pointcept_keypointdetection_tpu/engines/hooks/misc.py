@@ -1,0 +1,212 @@
+"""Misc hooks: timing, log writing, checkpointing.
+
+Parity surface: `pointcept/engines/hooks/misc.py` — ``IterationTimer`` (data
+vs batch time + ETA), ``InformationWriter`` (canonical iter log line + scalar
+mirroring), ``CheckpointSaver`` (atomic last + best + every-N copies),
+``CheckpointLoader`` (resume / fine-tune with keyword rewrite).
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+import shutil
+import time
+
+import jax
+import numpy as np
+
+from ...utils.checkpoint import load_checkpoint, restore_into, save_checkpoint
+from ...utils.logger import get_root_logger
+from ...utils.misc import AverageMeter
+from .builder import HOOKS
+from .default import HookBase
+
+
+@HOOKS.register_module()
+class IterationTimer(HookBase):
+    def __init__(self, warmup_iter=2):
+        self._warmup_iter = warmup_iter
+        self._start_time = time.perf_counter()
+        self._iter_timer = time.perf_counter()
+        self._remain_iter = 0
+
+    def before_train(self):
+        self._start_time = time.perf_counter()
+        self._remain_iter = self.trainer.max_epoch * len(self.trainer.train_loader)
+
+    def before_epoch(self):
+        self._iter_timer = time.perf_counter()
+
+    def before_step(self):
+        data_time = time.perf_counter() - self._iter_timer
+        self.trainer.storage.put_scalar("data_time", data_time)
+
+    def after_step(self):
+        # block on the step result so batch_time reflects device work
+        metrics = self.trainer.comm_info.get("metrics")
+        if metrics and hasattr(metrics.get("loss"), "block_until_ready"):
+            metrics["loss"].block_until_ready()
+        batch_time = time.perf_counter() - self._iter_timer
+        self._iter_timer = time.perf_counter()
+        self.trainer.storage.put_scalar("batch_time", batch_time)
+        self._remain_iter -= 1
+        remain_time = self._remain_iter * self.trainer.storage.history("batch_time").avg()
+        if np.isfinite(remain_time):
+            self.trainer.comm_info["remain_time"] = str(datetime.timedelta(seconds=int(remain_time)))
+
+
+@HOOKS.register_module()
+class InformationWriter(HookBase):
+    def __init__(self, log_interval=10):
+        self.log_interval = log_interval
+        self.logger = None
+
+    def before_train(self):
+        self.logger = get_root_logger()
+
+    def after_step(self):
+        trainer = self.trainer
+        metrics = trainer.comm_info.get("metrics", {})
+        for key, value in metrics.items():
+            trainer.storage.put_scalar(f"train_batch/{key}", float(np.asarray(value)))
+        if "lr" in trainer.comm_info:
+            trainer.storage.put_scalar("lr", trainer.comm_info["lr"])
+
+        i = trainer.comm_info.get("iter", 0)
+        if (i + 1) % self.log_interval != 0:
+            return
+        parts = [
+            f"Train: [{trainer.epoch + 1}/{trainer.max_epoch}]",
+            f"[{i + 1}/{len(trainer.train_loader)}]",
+        ]
+        h = trainer.storage.histories()
+        if "data_time" in h:
+            parts.append(f"Data {h['data_time'].latest:.3f} ({h['data_time'].avg():.3f})")
+        if "batch_time" in h:
+            parts.append(f"Batch {h['batch_time'].latest:.3f} ({h['batch_time'].avg():.3f})")
+        if "remain_time" in trainer.comm_info:
+            parts.append(f"Remain {trainer.comm_info['remain_time']}")
+        if "lr" in trainer.comm_info:
+            parts.append(f"Lr {trainer.comm_info['lr']:.3e}")
+        for key in sorted(k for k in h if k.startswith("train_batch/")):
+            parts.append(f"{key.split('/', 1)[1]} {h[key].latest:.4f}")
+        self.logger.info(" ".join(parts))
+
+    def after_epoch(self):
+        h = self.trainer.storage.histories()
+        msg = " ".join(
+            f"{k.split('/', 1)[1]}: {v.global_avg():.4f}" for k, v in sorted(h.items()) if k.startswith("train_batch/")
+        )
+        if msg:
+            self.logger.info(f"Train result: {msg}")
+
+
+@HOOKS.register_module()
+class CheckpointSaver(HookBase):
+    """Save model_last + model_best (+ optional every-N epoch copies)."""
+
+    def __init__(self, save_freq=None):
+        self.save_freq = save_freq
+        self.logger = None
+
+    def before_train(self):
+        self.logger = get_root_logger()
+
+    def after_epoch(self):
+        if jax.process_index() != 0:
+            return
+        trainer = self.trainer
+        is_best = False
+        current_metric_value = trainer.comm_info.get("current_metric_value")
+        current_metric_name = trainer.comm_info.get("current_metric_name")
+        if current_metric_value is not None:
+            if current_metric_value > trainer.best_metric_value:
+                trainer.best_metric_value = current_metric_value
+                is_best = True
+                self.logger.info(
+                    f"Best validation {current_metric_name} updated to: {current_metric_value:.4f}"
+                )
+            self.logger.info(
+                f"Currently Best {current_metric_name}: {trainer.best_metric_value:.4f}"
+            )
+        ckpt_dir = os.path.join(trainer.cfg.save_path, "model")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        path = os.path.join(ckpt_dir, "model_last.ckpt")
+        state = trainer.state
+        payload = dict(
+            epoch=trainer.epoch + 1,
+            step=int(state.step),
+            params=jax.device_get(state.params),
+            batch_stats=jax.device_get(state.batch_stats),
+            opt_state=jax.device_get(jax.tree_util.tree_map(lambda x: x, state.opt_state)),
+            best_metric_value=trainer.best_metric_value,
+        )
+        save_checkpoint(path, payload)
+        if is_best:
+            shutil.copyfile(path, os.path.join(ckpt_dir, "model_best.ckpt"))
+        if self.save_freq and (trainer.epoch + 1) % self.save_freq == 0:
+            shutil.copyfile(path, os.path.join(ckpt_dir, f"epoch_{trainer.epoch + 1}.ckpt"))
+
+
+@HOOKS.register_module()
+class CheckpointLoader(HookBase):
+    """Resume (full state) or fine-tune (weights only) from a checkpoint."""
+
+    def __init__(self, keywords="", replacement=None, strict=False):
+        self.keywords = keywords
+        self.replacement = replacement if replacement is not None else keywords
+        self.strict = strict
+
+    def before_train(self):
+        logger = get_root_logger()
+        trainer = self.trainer
+        weight_path = trainer.cfg.get("weight")
+        resume = trainer.cfg.get("resume", False)
+        if resume:
+            weight_path = os.path.join(trainer.cfg.save_path, "model", "model_last.ckpt")
+        if not weight_path or not os.path.isfile(weight_path):
+            logger.info("No weight found, training from scratch")
+            return
+        logger.info(f"Loading checkpoint: {weight_path}")
+        loaded = load_checkpoint(weight_path)
+        state = trainer.state
+        params = restore_into(jax.device_get(state.params), loaded["params"])
+        batch_stats = restore_into(jax.device_get(state.batch_stats), loaded.get("batch_stats", {}))
+        new_state = state.replace(params=params, batch_stats=batch_stats)
+        if resume:
+            opt_state = restore_into(jax.device_get(state.opt_state), loaded["opt_state"])
+            new_state = new_state.replace(
+                opt_state=opt_state, step=np.asarray(loaded["step"], np.int32)
+            )
+            trainer.start_epoch = int(loaded["epoch"])
+            trainer.best_metric_value = float(loaded.get("best_metric_value", -np.inf))
+            logger.info(f"Resuming training from epoch {trainer.start_epoch}")
+        trainer.state = new_state
+
+
+@HOOKS.register_module()
+class RuntimeProfiler(HookBase):
+    """jax.profiler trace of a few warmup steps (parity:
+    `hooks/misc.py:347-423`, chrome-trace output -> perfetto/xplane)."""
+
+    def __init__(self, warm_up=2, record=4, save_path=None):
+        self.warm_up = warm_up
+        self.record = record
+        self.save_path = save_path
+        self._active = False
+
+    def before_step(self):
+        it = self.trainer.comm_info.get("iter", 0)
+        if self.trainer.epoch == 0 and it == self.warm_up:
+            path = self.save_path or os.path.join(self.trainer.cfg.save_path, "profile")
+            jax.profiler.start_trace(path)
+            self._active = True
+
+    def after_step(self):
+        it = self.trainer.comm_info.get("iter", 0)
+        if self._active and it >= self.warm_up + self.record - 1:
+            jax.profiler.stop_trace()
+            self._active = False
+            get_root_logger().info("Profiler trace written")

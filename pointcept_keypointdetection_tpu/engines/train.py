@@ -1,0 +1,271 @@
+"""Hook-driven trainer.
+
+Parity surface: `pointcept/engines/train.py` — the ``TRAINERS`` registry, the
+``before_train -> (before_epoch -> (before_step -> run_step -> after_step)* ->
+after_epoch)* -> after_train`` hook lifecycle (`train.py:68-89,156-182`),
+per-iteration LR scheduling, gradient accumulation and AMP.
+
+TPU re-design of ``run_step`` (`train.py:184-245`): the whole optimizer step is
+one pjit-compiled function over the device mesh — forward (optionally bf16),
+backward, global-norm clip, optax update, BN-stat update.  Data parallelism is
+mesh sharding of the padded batch (no DDP wrapper, no GradScaler: bf16 on TPU
+needs no loss scaling).  Gradient accumulation splits the batch into
+micro-batches with ``lax.scan`` outside — TODO round 2; config knob accepted.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+import weakref
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..datasets import Dataloader, build_dataset
+from ..models import PointBatch, build_model
+from ..parallel.mesh import create_mesh, shard_batch
+from ..utils.env import set_seed
+from ..utils.events import EventStorage, ExceptionWriter
+from ..utils.logger import get_root_logger
+from ..utils.optimizer import build_optimizer, label_params
+from ..utils.registry import Registry
+from ..utils.scheduler import build_scheduler
+from .common import build_point_batch
+from .hooks.builder import HOOKS, build_hooks
+
+TRAINERS = Registry("trainers")
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+class TrainerBase:
+    def __init__(self):
+        self.hooks = []
+        self.epoch = 0
+        self.start_epoch = 0
+        self.max_epoch = 0
+        self.comm_info: Dict[str, Any] = {}
+        self.storage: Optional[EventStorage] = None
+
+    def register_hooks(self, hooks_cfg):
+        self.hooks = build_hooks(hooks_cfg)
+        for h in self.hooks:
+            h.trainer = weakref.proxy(self)
+
+    def before_train(self):
+        for h in self.hooks:
+            h.before_train()
+
+    def before_epoch(self):
+        for h in self.hooks:
+            h.before_epoch()
+
+    def before_step(self):
+        for h in self.hooks:
+            h.before_step()
+
+    def run_step(self):
+        raise NotImplementedError
+
+    def after_step(self):
+        for h in self.hooks:
+            h.after_step()
+
+    def after_epoch(self):
+        for h in self.hooks:
+            h.after_epoch()
+        self.storage.reset_histories()
+
+    def after_train(self):
+        self.storage.put_scalar("train_done", 1)
+        for h in self.hooks:
+            h.after_train()
+
+    def train(self):
+        with EventStorage() as self.storage, ExceptionWriter():
+            self.before_train()
+            for self.epoch in range(self.start_epoch, self.max_epoch):
+                self.before_epoch()
+                for self.comm_info["iter"], self.comm_info["input_dict"] in enumerate(self.train_loader):
+                    self.before_step()
+                    self.run_step()
+                    self.after_step()
+                self.after_epoch()
+            self.after_train()
+
+
+@TRAINERS.register_module("DefaultTrainer")
+class Trainer(TrainerBase):
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        self.max_epoch = cfg.eval_epoch  # data 'loop' folds real epochs like the reference
+        self.best_metric_value = -float("inf")
+        os.makedirs(cfg.save_path, exist_ok=True)
+        self.logger = get_root_logger(
+            log_file=os.path.join(cfg.save_path, "train.log"),
+            file_mode="a" if cfg.get("resume", False) else "w",
+        )
+        self.logger.info("=> Loading config ...")
+        self.logger.info(f"Save path: {cfg.save_path}")
+        self.root_rng = set_seed(cfg.get("seed"))
+        self.mesh = create_mesh(model=cfg.get("model_parallel", 1))
+        self.logger.info(f"Mesh: {self.mesh}")
+
+        self.logger.info("=> Building model ...")
+        self.model = build_model(dict(cfg.model))
+        self.logger.info("=> Building train dataset & loader ...")
+        self.train_loader = self.build_train_loader()
+        self.val_loader = self.build_val_loader()
+
+        self.logger.info("=> Building optimizer & scheduler ...")
+        total_steps = len(self.train_loader) * self.max_epoch
+        base_lr = cfg.optimizer.get("lr", 1e-3)
+        self.lr_schedule = build_scheduler(dict(cfg.scheduler), total_steps, base_lr)
+
+        self.logger.info("=> Initializing parameters ...")
+        self.state = self.init_state()
+        self.register_hooks(cfg.get("hooks", _default_hooks()))
+        self._train_step = self.make_train_step()
+        self._eval_step = None  # built by evaluator hooks on demand
+
+    # -- builders --------------------------------------------------------
+    def build_train_loader(self):
+        cfg = self.cfg
+        dataset = build_dataset(dict(cfg.data.train))
+        num_shards = jax.process_count()
+        return Dataloader(
+            dataset,
+            batch_size=cfg.batch_size // num_shards,
+            slot_size=cfg.slot_size,
+            shuffle=True,
+            drop_last=True,
+            mix_prob=cfg.get("mix_prob", 0.0),
+            seed=cfg.get("seed", 0) or 0,
+            num_shards=num_shards,
+            shard_id=jax.process_index(),
+        )
+
+    def build_val_loader(self):
+        cfg = self.cfg
+        if not cfg.get("evaluate", True) or "val" not in cfg.data:
+            return None
+        dataset = build_dataset(dict(cfg.data.val))
+        return Dataloader(
+            dataset,
+            batch_size=cfg.get("batch_size_val", cfg.batch_size) // jax.process_count(),
+            slot_size=cfg.get("slot_size_val", cfg.slot_size),
+            shuffle=False,
+            drop_last=False,
+            mix_prob=0.0,
+            num_shards=jax.process_count(),
+            shard_id=jax.process_index(),
+        )
+
+    def init_state(self) -> TrainState:
+        sample = next(iter(self.train_loader))
+        batch = shard_batch(sample, self.mesh)
+        point = build_point_batch(batch)
+        rng = self.root_rng
+        init_rng, self.step_rng = jax.random.split(rng)
+        init_fn = jax.jit(functools.partial(self.model.init, train=True))
+        variables = init_fn(
+            {"params": init_rng, "dropout": init_rng, "shuffle": init_rng},
+            point,
+            batch,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+        self.logger.info(f"Num params: {n_params}")
+
+        opt_cfg = dict(self.cfg.optimizer)
+        param_dicts = opt_cfg.get("param_dicts")
+        labels = label_params(params, param_dicts) if param_dicts else None
+        self.tx = build_optimizer(
+            opt_cfg, self.lr_schedule, param_labels=labels, grad_clip=self.cfg.get("clip_grad")
+        )
+        opt_state = self.tx.init(params)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            rng=self.step_rng,
+        )
+
+    def make_train_step(self):
+        model = self.model
+        tx = self.tx
+        amp_dtype = {"bf16": jnp.bfloat16, "fp16": jnp.float16}.get(self.cfg.get("amp", None))
+
+        def train_step(state: TrainState, batch, num_samples: int):
+            rng = jax.random.fold_in(state.rng, state.step)
+            drop_rng, shuffle_rng = jax.random.split(rng)
+            point = build_point_batch(batch, num_samples)
+            if amp_dtype is not None:
+                point = point.replace(feat=point.feat.astype(amp_dtype))
+
+            def loss_fn(params):
+                out, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    point,
+                    batch,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": drop_rng, "shuffle": shuffle_rng},
+                )
+                return out["loss"].astype(jnp.float32), (mutated.get("batch_stats", {}), out)
+
+            (loss, (new_bs, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
+            )
+            metrics = {"loss": loss}
+            for key, value in out.items():
+                if key != "loss" and isinstance(value, jnp.ndarray) and value.ndim == 0:
+                    metrics[key] = value
+            return new_state, metrics
+
+        return jax.jit(train_step, static_argnums=(2,), donate_argnums=(0,))
+
+    # -- loop ------------------------------------------------------------
+    def run_step(self):
+        batch_np = self.comm_info["input_dict"]
+        num_samples = batch_np["num_samples"]
+        batch = shard_batch(batch_np, self.mesh)
+        batch.pop("num_samples", None)
+        self.state, metrics = self._train_step(self.state, batch, num_samples)
+        self.comm_info["metrics"] = metrics
+        self.comm_info["lr"] = float(self.lr_schedule(int(self.state.step) - 1))
+
+    def before_epoch(self):
+        self.train_loader.set_epoch(self.epoch)
+        super().before_epoch()
+
+    def train(self):
+        self.logger.info(">>>>>>>>>>>>>>>> Start Training >>>>>>>>>>>>>>>>")
+        super().train()
+        self.logger.info("==>Training done!")
+
+
+def _default_hooks():
+    return [
+        dict(type="IterationTimer", warmup_iter=2),
+        dict(type="InformationWriter"),
+        dict(type="CheckpointSaver"),
+    ]

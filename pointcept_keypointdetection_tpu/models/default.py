@@ -2,13 +2,15 @@
 
 Parity surface: `pointcept/models/default.py` — ``DefaultSegmentor`` (backbone
 emits logits, criteria applied outside), ``DefaultClassifier`` (global pooled
-MLP head).  Wrappers are linen Modules returning a dict like the reference
-(train: ``{"loss": ...}``; eval additionally ``{"seg_logits": ...}``).
+MLP head).  Convention: every wrapper is a linen Module called as
+``model(point, batch, train)`` where ``batch`` is the collated target dict;
+it returns a dict (``loss`` when targets are present, plus task outputs),
+mirroring the reference's output-dict contract.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -28,12 +30,12 @@ class DefaultSegmentor(nn.Module):
     criteria: Sequence[Dict[str, Any]] = ()
 
     @nn.compact
-    def __call__(self, point: PointBatch, segment: Optional[jnp.ndarray] = None, train: bool = False):
+    def __call__(self, point: PointBatch, batch: Dict[str, jnp.ndarray], train: bool = False):
         logits = build_model(dict(self.backbone))(point, train=train)
         out = {"seg_logits": logits}
-        if segment is not None and len(self.criteria) > 0:
+        if "segment" in batch and len(self.criteria) > 0:
             crit = build_criteria([dict(c) for c in self.criteria])
-            out["loss"] = crit(logits, segment, valid=point.valid)
+            out["loss"] = crit(logits, batch["segment"], valid=point.valid)
         return out
 
 
@@ -47,14 +49,11 @@ class DefaultClassifier(nn.Module):
     backbone: Dict[str, Any]
     criteria: Sequence[Dict[str, Any]] = ()
     num_classes: int = 40
-    backbone_embed_dim: int = 256
 
     @nn.compact
-    def __call__(self, point: PointBatch, category: Optional[jnp.ndarray] = None, train: bool = False):
+    def __call__(self, point: PointBatch, batch: Dict[str, jnp.ndarray], train: bool = False):
         feat = build_model(dict(self.backbone))(point, train=train)
-        pooled = segment_mean(
-            feat * point.valid[:, None], point.batch, point.num_samples
-        )  # [B, C]
+        pooled = segment_mean(feat * point.valid[:, None], point.batch, point.num_samples)
         x = nn.Dense(256)(pooled)
         x = MaskedBatchNorm(256, momentum=0.1, eps=1e-5)(x, jnp.ones(x.shape[0], bool), not train)
         x = nn.relu(x)
@@ -65,7 +64,7 @@ class DefaultClassifier(nn.Module):
         x = nn.Dropout(0.5, deterministic=not train)(x)
         logits = nn.Dense(self.num_classes)(x)
         out = {"cls_logits": logits}
-        if category is not None and len(self.criteria) > 0:
+        if "category" in batch and len(self.criteria) > 0:
             crit = build_criteria([dict(c) for c in self.criteria])
-            out["loss"] = crit(logits, category.reshape(-1), valid=None)
+            out["loss"] = crit(logits, batch["category"].reshape(-1), valid=None)
         return out

@@ -1,0 +1,333 @@
+"""PTv3 — serialized point transformer (flagship backbone), TPU-native.
+
+Capability parity with `pointcept/models/point_transformer_v3/
+point_transformer_v3m1_base.py` (PT-v3m1): multi-order space-filling-curve
+serialization with per-block order cycling and optional order shuffling,
+patch attention, xCPE (SubMConv3d k=3) before every attention block,
+SerializedPooling / SerializedUnpooling U-Net with skip connections, spconv
+stem Embedding (k=5), GELU MLP, DropPath, pre-norm.  Defaults match the
+reference signature (`:518-560`).
+
+TPU re-design:
+* Patches are exactly block-diagonal because every sample has a fixed slot
+  (see models/structure.py) — the reference's pad/unpad/cu_seqlens machinery
+  (`:114-170`) vanishes; masked dense attention runs per patch
+  (`ops/attention.py`, Pallas kernel on the TPU hot path).
+* Pooling clusters by z-order codes of the coarsened grid (an identical
+  partition to the reference's ``code >> 3*depth`` by the curve prefix
+  property) via ``slotted_unique``; the pooled level re-serializes itself.
+* Kernel maps for xCPE are built once per stage and shared across blocks
+  (spconv ``indice_key`` analogue).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import patch_attention_xla
+from ..ops.codes import code_or_batch
+from ..ops.segment import segment_mean, segment_reduce
+from ..ops.serialization import z_order_encode
+from ..ops.sparse import SparseConvSpec, build_kernel_map, build_voxel_index, sparse_conv
+from ..ops.voxelize import slotted_unique
+from .builder import MODELS
+from .norm import DropPath, LayerNorm, MaskedBatchNorm
+from .structure import PointBatch
+
+_DEPTH = 16
+
+
+class SubMConvCPE(nn.Module):
+    """xCPE: SubMConv3d(k=3, bias) + Linear + LayerNorm (`:277-287`)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, feat, kmap):
+        k = 27
+        w = self.param(
+            "weight",
+            nn.initializers.truncated_normal(0.02, lower=-0.04, upper=0.04),
+            (k, feat.shape[-1], self.channels),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+        out = sparse_conv(feat, kmap, w, b)
+        out = nn.Dense(self.channels)(out)
+        out = LayerNorm(self.channels)(out)
+        return out
+
+
+class SerializedAttention(nn.Module):
+    channels: int
+    num_heads: int
+    patch_size: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    order_index: int = 0
+    attn_impl: str = "auto"  # auto | xla | pallas
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool):
+        h = self.num_heads
+        c = self.channels
+        d = c // h
+        scale = self.qk_scale or d**-0.5
+        num_orders = point.serialized_order.shape[0]
+        order = point.serialized_order[self.order_index % num_orders]
+        inverse = point.serialized_inverse[self.order_index % num_orders]
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(point.feat)
+        qkv_sorted = jnp.take(qkv, order, axis=0).reshape(-1, 3, h, d)
+        valid_sorted = jnp.take(point.valid, order, axis=0)
+
+        impl = self.attn_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
+            from ..ops.pallas.patch_attention import patch_attention_pallas
+
+            feat = patch_attention_pallas(qkv_sorted, valid_sorted, self.patch_size, scale)
+        else:
+            chunk = 256 if self.patch_size >= 256 else 0
+            feat = patch_attention_xla(qkv_sorted, valid_sorted, self.patch_size, scale, chunk)
+        feat = jnp.take(feat, inverse, axis=0)
+        feat = nn.Dense(c, name="proj")(feat)
+        return feat
+
+
+class MLP(nn.Module):
+    channels: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.channels * self.mlp_ratio)
+        x = nn.Dense(hidden)(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.channels)(x)
+        return x
+
+
+class Block(nn.Module):
+    channels: int
+    num_heads: int
+    patch_size: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    order_index: int = 0
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, point: PointBatch, kmap, train: bool):
+        # xCPE + residual
+        shortcut = point.feat
+        feat = SubMConvCPE(self.channels, name="cpe")(point.feat, kmap)
+        feat = shortcut + feat
+        point = point.replace(feat=feat)
+
+        # attention (pre-norm)
+        shortcut = point.feat
+        normed = LayerNorm(self.channels, name="norm1")(point.feat)
+        attn_out = SerializedAttention(
+            self.channels,
+            self.num_heads,
+            self.patch_size,
+            order_index=self.order_index,
+            attn_impl=self.attn_impl,
+            name="attn",
+        )(point.replace(feat=normed), train)
+        attn_out = DropPath(self.drop_path, name="dp1")(attn_out, point.num_samples, not train)
+        feat = shortcut + attn_out
+
+        # MLP (pre-norm)
+        shortcut = feat
+        normed = LayerNorm(self.channels, name="norm2")(feat)
+        mlp_out = MLP(self.channels, self.mlp_ratio, name="mlp")(normed)
+        mlp_out = DropPath(self.drop_path, name="dp2")(mlp_out, point.num_samples, not train)
+        feat = shortcut + mlp_out
+        return point.replace(feat=feat)
+
+
+class SerializedPooling(nn.Module):
+    """Grid pooling by curve-code prefix (`:341-444`). stride must be 2^k."""
+
+    out_channels: int
+    stride: int = 2
+    reduce: str = "max"
+    bn_momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, point: PointBatch, slot_capacity: int, orders, shuffle_key, train: bool):
+        pd = max((self.stride - 1).bit_length(), 1)  # stride 2 -> 1 level
+        parent_grid = point.grid_coord >> pd
+        batch = point.batch
+        code = code_or_batch(z_order_encode(parent_grid, _DEPTH), batch, _DEPTH)
+        su = slotted_unique(code, point.valid, batch, point.num_samples, slot_capacity)
+        m = point.num_samples * slot_capacity
+
+        feat = nn.Dense(self.out_channels, name="proj")(point.feat)
+        feat = jnp.where(point.valid[:, None], feat, 0.0)
+        pooled_feat = segment_reduce(feat, su.parent_row, m, self.reduce)
+        pooled_coord = segment_mean(point.coord * point.valid[:, None], su.parent_row, m)
+        head = jnp.minimum(su.head_row, point.num_points - 1)
+        pooled_grid = jnp.where(su.out_valid[:, None], jnp.take(parent_grid, head, axis=0), 0)
+
+        pooled = PointBatch(
+            coord=pooled_coord,
+            feat=pooled_feat,
+            grid_coord=pooled_grid,
+            valid=su.out_valid,
+            num_samples=point.num_samples,
+        )
+        pooled_feat = MaskedBatchNorm(self.out_channels, momentum=self.bn_momentum, name="norm")(
+            pooled.feat, pooled.valid, not train
+        )
+        pooled = pooled.replace(feat=nn.gelu(pooled_feat))
+        pooled = pooled.serialize(orders=orders, depth=_DEPTH, shuffle_key=shuffle_key)
+        return pooled, su
+
+
+class SerializedUnpooling(nn.Module):
+    """Broadcast pooled features back to children + skip (`:447-483`)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, pooled: PointBatch, skip: PointBatch, su):
+        feat = nn.Dense(self.out_channels, name="proj")(pooled.feat)
+        feat = LayerNorm(self.out_channels, name="proj_norm")(feat)
+        skip_feat = nn.Dense(self.out_channels, name="proj_skip")(skip.feat)
+        skip_feat = LayerNorm(self.out_channels, name="skip_norm")(skip_feat)
+        pad = jnp.concatenate([feat, jnp.zeros((1, self.out_channels), feat.dtype)], axis=0)
+        prow = jnp.minimum(su.parent_row, feat.shape[0])
+        gathered = jnp.take(pad, prow, axis=0)
+        return skip.replace(feat=gathered + skip_feat)
+
+
+@MODELS.register_module("PT-v3m1")
+class PointTransformerV3(nn.Module):
+    in_channels: int = 6
+    order: Sequence[str] = ("z", "z-trans", "hilbert", "hilbert-trans")
+    stride: Sequence[int] = (2, 2, 2, 2)
+    enc_depths: Sequence[int] = (2, 2, 2, 6, 2)
+    enc_channels: Sequence[int] = (32, 64, 128, 256, 512)
+    enc_num_head: Sequence[int] = (2, 4, 8, 16, 32)
+    enc_patch_size: Sequence[int] = (48, 48, 48, 48, 48)
+    dec_depths: Sequence[int] = (2, 2, 2, 2)
+    dec_channels: Sequence[int] = (64, 64, 128, 256)
+    dec_num_head: Sequence[int] = (4, 4, 8, 16)
+    dec_patch_size: Sequence[int] = (48, 48, 48, 48)
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.3
+    shuffle_orders: bool = True
+    enc_mode: bool = False
+    # per-encoder-stage slot capacity divisor vs the input slot size
+    slot_divisors: Sequence[int] = (1, 2, 4, 8, 16)
+    attn_impl: str = "auto"
+    stem_kernel: int = 5
+    bn_momentum: float = 0.01
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool = False):
+        num_stages = len(self.enc_depths)
+        slot0 = point.slot_size
+
+        def stage_cap(s):
+            # slot capacity at stage s, rounded up to a patch-size multiple
+            k = self.enc_patch_size[s]
+            cap = max(slot0 // self.slot_divisors[s], k)
+            return -(-cap // k) * k
+
+        assert slot0 % self.enc_patch_size[0] == 0, (slot0, self.enc_patch_size[0])
+
+        shuffle_key = (
+            self.make_rng("shuffle") if train and self.shuffle_orders else None
+        )
+
+        # ---- embedding (stem SubMConv k=5 + BN + GELU) -------------------
+        batch = point.batch
+        index0 = build_voxel_index(point.grid_coord, batch, point.valid, _DEPTH)
+        spec_stem = SparseConvSpec.cube(self.stem_kernel)
+        kmap_stem = build_kernel_map(index0, point.grid_coord, batch, point.valid, spec_stem, _DEPTH)
+        w = self.param(
+            "stem_weight",
+            nn.initializers.truncated_normal(0.02, lower=-0.04, upper=0.04),
+            (len(spec_stem.offsets), self.in_channels, self.enc_channels[0]),
+            jnp.float32,
+        )
+        feat = sparse_conv(point.feat, kmap_stem, w)
+        feat = MaskedBatchNorm(self.enc_channels[0], momentum=self.bn_momentum, name="stem_norm")(
+            feat, point.valid, not train
+        )
+        point = point.replace(feat=nn.gelu(feat))
+        point = point.serialize(orders=tuple(self.order), depth=_DEPTH, shuffle_key=shuffle_key)
+
+        # ---- encoder -----------------------------------------------------
+        total_blocks = sum(self.enc_depths) + (0 if self.enc_mode else sum(self.dec_depths))
+        dp_rates = [self.drop_path * i / max(total_blocks - 1, 1) for i in range(total_blocks)]
+        blk = 0
+
+        skips = []
+        sus = []
+        kmaps = []  # per-level k=3 kernel maps, reused by the decoder (indice_key analogue)
+        x = point
+        for s in range(num_stages):
+            if s > 0:
+                cap = stage_cap(s)
+                skips.append(x)
+                stage_key = (
+                    jax.random.fold_in(shuffle_key, s) if shuffle_key is not None else None
+                )
+                x, su = SerializedPooling(
+                    self.enc_channels[s],
+                    stride=self.stride[s - 1],
+                    bn_momentum=self.bn_momentum,
+                    name=f"enc{s}_down",
+                )(x, cap, tuple(self.order), stage_key, train)
+                sus.append(su)
+            b = x.batch
+            if s == 0 and self.stem_kernel == 3:
+                kmap = kmap_stem
+            else:
+                idx = index0 if s == 0 else build_voxel_index(x.grid_coord, b, x.valid, _DEPTH)
+                kmap = build_kernel_map(idx, x.grid_coord, b, x.valid, SparseConvSpec.cube(3), _DEPTH)
+            kmaps.append(kmap)
+            for i in range(self.enc_depths[s]):
+                x = Block(
+                    self.enc_channels[s],
+                    self.enc_num_head[s],
+                    self.enc_patch_size[s],
+                    self.mlp_ratio,
+                    dp_rates[blk],
+                    order_index=i,
+                    attn_impl=self.attn_impl,
+                    name=f"enc{s}_block{i}",
+                )(x, kmap, train)
+                blk += 1
+
+        if self.enc_mode:
+            return x.feat
+
+        # ---- decoder -----------------------------------------------------
+        for s in reversed(range(num_stages - 1)):
+            skip = skips[s]
+            x = SerializedUnpooling(self.dec_channels[s], name=f"dec{s}_up")(x, skip, sus[s])
+            kmap = kmaps[s]
+            for i in range(self.dec_depths[s]):
+                x = Block(
+                    self.dec_channels[s],
+                    self.dec_num_head[s],
+                    self.dec_patch_size[s],
+                    self.mlp_ratio,
+                    dp_rates[blk],
+                    order_index=i,
+                    attn_impl=self.attn_impl,
+                    name=f"dec{s}_block{i}",
+                )(x, kmap, train)
+                blk += 1
+        return x.feat

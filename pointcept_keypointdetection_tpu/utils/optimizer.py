@@ -1,0 +1,85 @@
+"""Optimizer construction (optax).
+
+Parity surface: `pointcept/utils/optimizer.py` — SGD/Adam/AdamW with
+``param_dicts`` keyword-matched parameter groups carrying per-group lr scales
+and weight decay (used e.g. to give PTv3 "block" params 0.1x lr).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import optax
+
+
+def _base_opt(opt_type: str, lr_schedule, momentum=0.9, weight_decay=0.0, nesterov=True, betas=(0.9, 0.999)):
+    if opt_type == "SGD":
+        opt = optax.chain(
+            optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+            optax.sgd(lr_schedule, momentum=momentum, nesterov=nesterov),
+        )
+    elif opt_type == "Adam":
+        opt = optax.adam(lr_schedule, b1=betas[0], b2=betas[1])
+    elif opt_type == "AdamW":
+        opt = optax.adamw(lr_schedule, b1=betas[0], b2=betas[1], weight_decay=weight_decay)
+    else:
+        raise KeyError(f"unsupported optimizer {opt_type}")
+    return opt
+
+
+def build_optimizer(
+    cfg: Dict[str, Any],
+    lr_schedule,
+    param_labels=None,
+    grad_clip: Optional[float] = None,
+):
+    """Build an optax GradientTransformation.
+
+    ``cfg``: dict(type=..., lr=..., weight_decay=..., momentum=...,
+    param_dicts=[{keyword: str, lr_scale: float}]).  When ``param_dicts`` is
+    set, pass ``param_labels`` (a pytree of group names produced by
+    ``label_params``) at call sites; matching groups get scaled lr.
+    """
+    cfg = dict(cfg)
+    opt_type = cfg.pop("type")
+    cfg.pop("lr", None)
+    param_dicts = cfg.pop("param_dicts", None)
+    kwargs = {}
+    for key in ("momentum", "weight_decay", "nesterov", "betas"):
+        if key in cfg:
+            kwargs[key] = cfg.pop(key)
+
+    transforms = []
+    if param_dicts:
+        groups = {"default": _base_opt(opt_type, lr_schedule, **kwargs)}
+        for i, group in enumerate(param_dicts):
+            scale = group.get("lr_scale", 1.0)
+            g_kwargs = dict(kwargs)
+            if "weight_decay" in group:
+                g_kwargs["weight_decay"] = group["weight_decay"]
+            scaled = lambda s, _sc=scale: lr_schedule(s) * _sc
+            groups[f"group{i}"] = _base_opt(opt_type, scaled, **g_kwargs)
+        opt = optax.multi_transform(groups, param_labels)
+    else:
+        opt = _base_opt(opt_type, lr_schedule, **kwargs)
+
+    if grad_clip:
+        opt = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+    return opt
+
+
+def label_params(params, param_dicts: Sequence[Dict[str, Any]]):
+    """Produce the multi_transform label pytree: first keyword match wins."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    labels = {}
+    for path in flat:
+        name = "/".join(str(p) for p in path)
+        label = "default"
+        for i, group in enumerate(param_dicts):
+            if group["keyword"] in name:
+                label = f"group{i}"
+                break
+        labels[path] = label
+    return flax.traverse_util.unflatten_dict(labels)

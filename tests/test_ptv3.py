@@ -1,0 +1,165 @@
+"""PTv3 backbone + keypoint heads: shapes, masking, learning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcept_keypointdetection_tpu.models import MODELS, PointBatch
+
+BACKBONE = dict(
+    type="PT-v3m1",
+    in_channels=4,
+    order=("z", "z-trans", "hilbert", "hilbert-trans"),
+    stride=(2, 2),
+    enc_depths=(1, 1, 1),
+    enc_channels=(16, 32, 48),
+    enc_num_head=(2, 4, 4),
+    enc_patch_size=(16, 16, 16),
+    dec_depths=(1, 1),
+    dec_channels=(16, 32),
+    dec_num_head=(2, 4),
+    dec_patch_size=(16, 16),
+    mlp_ratio=2,
+    drop_path=0.1,
+    slot_divisors=(1, 2, 4),
+    stem_kernel=3,
+    attn_impl="xla",
+)
+
+
+def make_point_batch(rng, B=2, S=256, C=4):
+    coords = rng.uniform(0, 0.8, (B, S, 3)).astype(np.float32)
+    grid = np.floor(coords / 0.05).astype(np.int32)
+    valid = np.zeros((B, S), bool)
+    for b in range(B):
+        _, first = np.unique(
+            grid[b, :, 0] * 10**6 + grid[b, :, 1] * 10**3 + grid[b, :, 2], return_index=True
+        )
+        n_valid = min(len(first), S - 16)
+        valid[b, first[:n_valid]] = True
+    feat = rng.normal(size=(B, S, C)).astype(np.float32)
+    feat[~valid] = 0
+    return PointBatch(
+        coord=jnp.asarray(coords.reshape(-1, 3)),
+        feat=jnp.asarray(feat.reshape(-1, C)),
+        grid_coord=jnp.asarray(grid.reshape(-1, 3)),
+        valid=jnp.asarray(valid.reshape(-1)),
+        num_samples=B,
+    )
+
+
+@pytest.fixture(scope="module")
+def ptv3():
+    return MODELS.build(dict(BACKBONE))
+
+
+def test_ptv3_forward(rng, ptv3):
+    point = make_point_batch(rng)
+    variables = ptv3.init({"params": jax.random.PRNGKey(0)}, point, train=False)
+    feat = ptv3.apply(variables, point, train=False)
+    assert feat.shape == (512, 16)
+    assert np.isfinite(np.asarray(feat)).all()
+
+
+def test_ptv3_mask_isolation(rng, ptv3):
+    point = make_point_batch(rng)
+    variables = ptv3.init({"params": jax.random.PRNGKey(0)}, point, train=False)
+    f1 = np.asarray(ptv3.apply(variables, point, train=False))
+    point2 = point.replace(feat=point.feat + jnp.where(point.valid[:, None], 0.0, 11.0))
+    f2 = np.asarray(ptv3.apply(variables, point2, train=False))
+    v = np.asarray(point.valid)
+    np.testing.assert_allclose(f1[v], f2[v], rtol=2e-3, atol=2e-3)
+
+
+def test_ptv3_serialization_state(rng):
+    # serialize keeps per-sample slot structure for every order
+    point = make_point_batch(rng).serialize(depth=16)
+    order = np.asarray(point.serialized_order)  # [O, N]
+    S = point.slot_size
+    for o in range(order.shape[0]):
+        for b in range(point.num_samples):
+            slot = order[o, b * S : (b + 1) * S]
+            assert slot.min() >= b * S and slot.max() < (b + 1) * S
+    inv = np.asarray(point.serialized_inverse)
+    for o in range(order.shape[0]):
+        np.testing.assert_array_equal(order[o][inv[o]], np.arange(order.shape[1]))
+
+
+def test_offset_keypoint_model_learns(rng):
+    import optax
+
+    model = MODELS.build(
+        dict(type="OffsetKeypointPTv3", backbone_conf=dict(BACKBONE), num_keypoints=3, hidden_dim=32)
+    )
+    point = make_point_batch(rng)
+    kp = rng.uniform(0.2, 0.6, (2, 3, 3)).astype(np.float32)
+    coords = np.asarray(point.coord).reshape(2, -1, 3)
+    offsets = np.stack([kp[b][None] - coords[b][:, None] for b in range(2)])  # [B,S,K,3]
+    dist = np.linalg.norm(offsets, axis=-1)
+    mask = (dist <= 0.4).astype(np.float32)
+    batch = {
+        "keypoint_offset": jnp.asarray((offsets * mask[..., None]).reshape(-1, 3, 3)),
+        "keypoint_mask": jnp.asarray(mask.reshape(-1, 3)),
+        "scale": jnp.ones((2,), jnp.float32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1), "shuffle": jax.random.PRNGKey(2)},
+        point,
+        batch,
+        train=True,
+    )
+    params, bs = variables["params"], variables.get("batch_stats", {})
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, bs, opt, key):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": bs},
+                point,
+                batch,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": key, "shuffle": key},
+            )
+            return out["loss"], mut.get("batch_stats", {})
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt2 = tx.update(grads, opt)
+        return optax.apply_updates(params, upd), new_bs, opt2, loss
+
+    losses = []
+    for i in range(25):
+        params, bs, opt, loss = step(params, bs, opt, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
+
+    # evaluator reconstruction runs and yields finite distances
+    from pointcept_keypointdetection_tpu.engines.hooks.keypoint_evaluator import (
+        reconstruct_keypoints_from_offsets,
+    )
+
+    out = model.apply({"params": params, "batch_stats": bs}, point, batch, train=False)
+    pred_kp = reconstruct_keypoints_from_offsets(
+        point.coord, out["offset_pred"], jax.nn.sigmoid(out["mask_logits"]), point.batch, point.valid, 2
+    )
+    assert np.isfinite(np.asarray(pred_kp)).all()
+
+
+def test_keypoint_global_model(rng):
+    model = MODELS.build(
+        dict(type="KeypointPTv3", backbone_conf=dict(BACKBONE), num_keypoints=4, hidden_dim=32)
+    )
+    point = make_point_batch(rng)
+    batch = {
+        "keypoint": jnp.asarray(rng.normal(size=(2, 4, 3)).astype(np.float32)),
+        "scale": jnp.ones((2,), jnp.float32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, point, batch, train=True
+    )
+    out = model.apply(variables, point, batch, train=False)
+    assert out["keypoint_pred"].shape == (2, 4, 3)
+    assert np.isfinite(float(out["loss"]))

@@ -1,0 +1,240 @@
+"""Testers: full-resolution TTA inference.
+
+Parity surface: `pointcept/engines/test.py` — the ``TESTERS`` registry,
+``SemSegTester`` (fragment/TTA inference: per-scene fragment list from
+GridSample(test) x aug variants, per-fragment softmax accumulated into a
+full-resolution prediction via the ``index`` map, per-dataset submission
+writers, global mIoU), ``ClsTester``.  Keypoint testers live in
+tools/infer_offset.py-equivalent utilities plus ``OffsetKeypointTester`` here.
+
+The per-fragment forward is one jitted function at a fixed padded fragment
+capacity; fragments stream through it scene by scene.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..datasets import build_dataset
+from ..datasets.collate import collate
+from ..models import build_model
+from ..utils.checkpoint import load_checkpoint, restore_into
+from ..utils.logger import get_root_logger
+from ..utils.misc import AverageMeter, intersection_and_union, make_dirs
+from ..utils.registry import Registry
+from .common import build_point_batch
+
+TESTERS = Registry("testers")
+
+
+class TesterBase:
+    def __init__(self, cfg, model=None, variables=None, test_loader=None, verbose=False):
+        self.logger = get_root_logger(
+            log_file=os.path.join(cfg.save_path, "test.log"), file_mode="a"
+        )
+        self.logger.info("=> Loading config ...")
+        self.cfg = cfg
+        self.verbose = verbose
+        if model is None or variables is None:
+            self.logger.info("=> Building model ...")
+            self.model = build_model(dict(cfg.model))
+            self.variables = self.load_variables()
+        else:
+            self.model = model
+            self.variables = variables
+        if test_loader is None:
+            self.logger.info("=> Building test dataset & loader ...")
+            self.test_dataset = build_dataset(dict(cfg.data.test))
+        else:
+            self.test_dataset = test_loader
+
+    def load_variables(self):
+        cfg = self.cfg
+        weight_path = cfg.get("weight") or os.path.join(cfg.save_path, "model", "model_best.ckpt")
+        if not os.path.isfile(weight_path):
+            alt = os.path.join(cfg.save_path, "model", "model_last.ckpt")
+            weight_path = alt if os.path.isfile(alt) else weight_path
+        if not os.path.isfile(weight_path):
+            raise FileNotFoundError(f"no checkpoint at {weight_path}")
+        self.logger.info(f"Loading weight at: {weight_path}")
+        loaded = load_checkpoint(weight_path)
+
+        # build template variables by shape-only init on a probe batch
+        sample = self.probe_sample()
+        point = build_point_batch(sample, sample["num_samples"])
+        import functools
+
+        variables = jax.jit(functools.partial(self.model.init, train=False))(
+            {"params": jax.random.PRNGKey(0)}, point, sample_to_device(sample)
+        )
+        params = restore_into(jax.device_get(variables["params"]), loaded["params"])
+        batch_stats = restore_into(
+            jax.device_get(variables.get("batch_stats", {})), loaded.get("batch_stats", {})
+        )
+        self.logger.info(f"=> Loaded weight (epoch {loaded.get('epoch', '?')})")
+        return {"params": params, "batch_stats": batch_stats}
+
+    def probe_sample(self):
+        raise NotImplementedError
+
+    def test(self):
+        raise NotImplementedError
+
+
+def sample_to_device(batch: Dict) -> Dict:
+    out = {}
+    for key, value in batch.items():
+        if key in ("name", "num_samples") or isinstance(value, (list, str)):
+            continue
+        arr = np.asarray(value)
+        if arr.dtype == object or arr.dtype.kind in "US":
+            continue
+        out[key] = jnp.asarray(arr)
+    return out
+
+
+def _pad_fragment(frag: Dict, capacity: int) -> Dict:
+    """Pad one fragment dict to the fixed capacity (keeps 'index')."""
+    from ..datasets.collate import pad_sample
+
+    return pad_sample(dict(frag), capacity)
+
+
+@TESTERS.register_module()
+class SemSegTester(TesterBase):
+    """Fragment/TTA semantic segmentation tester (`engines/test.py:122-354`)."""
+
+    def __init__(self, cfg, fragment_capacity=None, **kwargs):
+        super().__init__(cfg, **kwargs)
+        self.fragment_capacity = fragment_capacity or cfg.get("slot_size", 131072)
+        self.num_classes = cfg.data.num_classes
+        self.ignore_index = cfg.data.get("ignore_index", -1)
+        self._forward = None
+
+    def probe_sample(self):
+        frag = {
+            "coord": np.zeros((4, 3), np.float32),
+            "grid_coord": np.zeros((4, 3), np.int32),
+            "feat": np.zeros((4, self.cfg.model.backbone.in_channels), np.float32),
+            "segment": np.zeros((4,), np.int32),
+        }
+        return collate([_pad_fragment(frag, self.fragment_capacity)], self.fragment_capacity)
+
+    def _build_forward(self):
+        model = self.model
+
+        def forward(variables, batch):
+            point = build_point_batch(batch, 1)
+            out = model.apply(variables, point, batch, train=False)
+            probs = jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=-1)
+            return probs
+
+        self._forward = jax.jit(forward)
+
+    def test(self):
+        assert self.test_dataset.test_mode
+        logger = self.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        if self._forward is None:
+            self._build_forward()
+
+        save_path = os.path.join(self.cfg.save_path, "result")
+        make_dirs(save_path)
+        K = self.num_classes
+        inter_sum, union_sum, target_sum = np.zeros(K), np.zeros(K), np.zeros(K)
+        batch_time = AverageMeter()
+
+        for idx in range(len(self.test_dataset)):
+            start = time.time()
+            data_dict = self.test_dataset[idx]
+            fragment_list = data_dict.pop("fragment_list")
+            segment = data_dict.pop("segment")
+            name = data_dict.pop("name")
+            pred = np.zeros((segment.size, K), np.float32)
+
+            for frag in fragment_list:
+                index = frag.pop("index")
+                n = frag["coord"].shape[0]
+                if n > self.fragment_capacity:
+                    logger.warning(
+                        f"{name}: fragment {n} pts > capacity {self.fragment_capacity}; truncating"
+                    )
+                padded = _pad_fragment(frag, self.fragment_capacity)
+                batch = collate([padded], self.fragment_capacity)
+                probs = np.asarray(self._forward(self.variables, sample_to_device(batch)))
+                m = min(n, self.fragment_capacity)
+                pred[index[:m]] += probs[:m]
+
+            seg_pred = pred.argmax(axis=1)
+            if "origin_segment" in data_dict and "inverse" in data_dict:
+                seg_pred = seg_pred[data_dict["inverse"]]
+                segment = data_dict["origin_segment"]
+            np.save(os.path.join(save_path, f"{name}_pred.npy"), seg_pred)
+
+            inter, union, target = intersection_and_union(seg_pred, segment, K, self.ignore_index)
+            inter_sum += inter
+            union_sum += union
+            target_sum += target
+            batch_time.update(time.time() - start)
+            iou = inter.sum() / (union.sum() + 1e-10)
+            acc = inter.sum() / (target.sum() + 1e-10)
+            logger.info(
+                f"Test: {name} [{idx + 1}/{len(self.test_dataset)}]-{segment.size} "
+                f"Batch {batch_time.val:.3f} ({batch_time.avg:.3f}) "
+                f"Accuracy {acc:.4f} mIoU {iou:.4f}"
+            )
+
+        iou_class = inter_sum / np.maximum(union_sum, 1)
+        acc_class = inter_sum / np.maximum(target_sum, 1)
+        m_iou, m_acc = float(iou_class.mean()), float(acc_class.mean())
+        all_acc = float(inter_sum.sum() / np.maximum(target_sum.sum(), 1))
+        logger.info(f"Val result: mIoU/mAcc/allAcc {m_iou:.4f}/{m_acc:.4f}/{all_acc:.4f}")
+        for c in range(K):
+            logger.info(f"Class_{c} Result: iou/accuracy {iou_class[c]:.4f}/{acc_class[c]:.4f}")
+        logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        return dict(mIoU=m_iou, mAcc=m_acc, allAcc=all_acc)
+
+
+@TESTERS.register_module()
+class ClsTester(TesterBase):
+    """Object classification tester (`engines/test.py:606-683`)."""
+
+    def __init__(self, cfg, **kwargs):
+        super().__init__(cfg, **kwargs)
+        self.num_classes = cfg.data.num_classes
+        self.slot = cfg.get("slot_size", 4096)
+
+    def probe_sample(self):
+        frag = {
+            "coord": np.zeros((4, 3), np.float32),
+            "grid_coord": np.zeros((4, 3), np.int32),
+            "feat": np.zeros((4, self.cfg.model.backbone.in_channels), np.float32),
+            "category": np.zeros((1,), np.int32),
+        }
+        return collate([_pad_fragment(frag, self.slot)], self.slot)
+
+    def test(self):
+        model = self.model
+
+        @jax.jit
+        def forward(variables, batch):
+            point = build_point_batch(batch, 1)
+            out = model.apply(variables, point, batch, train=False)
+            return jnp.argmax(out["cls_logits"], axis=-1)
+
+        correct = total = 0
+        for idx in range(len(self.test_dataset)):
+            sample = self.test_dataset[idx]
+            batch = collate([_pad_fragment(sample, self.slot)], self.slot)
+            pred = int(np.asarray(forward(self.variables, sample_to_device(batch)))[0])
+            correct += int(pred == int(sample["category"]))
+            total += 1
+        acc = correct / max(total, 1)
+        self.logger.info(f"Test result: allAcc {acc:.4f}")
+        return dict(allAcc=acc)

@@ -1,0 +1,5 @@
+from . import se3
+from .registration import point_to_plane_icp, RegistrationResult
+from .voxel_map import VoxelMap
+from .pipeline import LidarOdometry, OdometryConfig
+from .evaluate import absolute_trajectory_error, umeyama_alignment

@@ -1,0 +1,150 @@
+"""LiDAR odometry pipeline (FAST-LIO2-style scan-to-map frontend).
+
+Internalizes the odometry stage the reference delegates to an external ROS
+FAST-LIO2 (SURVEY.md §2.9): per scan — semantic dynamic-object filtering
+(`fusion_clean_bag.py:93-95` drops dynamic classes), voxel downsample,
+constant-velocity pose prediction, point-to-plane ICP against the sliding
+voxel map, then map insertion/pruning.  The whole per-scan update is ONE
+jitted function with static shapes; the host loop only feeds scans and
+records poses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import se3
+from .registration import point_to_plane_icp
+from .voxel_map import VoxelMap, insert, prune
+
+
+@dataclasses.dataclass
+class OdometryConfig:
+    scan_capacity: int = 16384  # padded downsampled scan size
+    map_capacity: int = 262144
+    scan_voxel: float = 0.5
+    map_voxel: float = 0.4
+    icp_iters: int = 8
+    knn_k: int = 5
+    max_corr_dist: float = 1.0
+    huber_delta: float = 0.3
+    min_planarity: float = 0.7
+    map_radius: float = 150.0
+    min_range: float = 2.5  # drop ego returns
+    max_range: float = 80.0
+    dynamic_classes: Tuple[int, ...] = ()  # semantic train-ids to drop
+    map_origin: Tuple[float, float, float] = (-800.0, -800.0, -200.0)
+
+
+class LidarOdometry:
+    def __init__(self, config: Optional[OdometryConfig] = None):
+        self.cfg = config or OdometryConfig()
+        self.vmap = VoxelMap.create(self.cfg.map_capacity, self.cfg.map_voxel, self.cfg.map_origin)
+        self.poses: List[np.ndarray] = []  # [4, 4] world_T_sensor
+        self._R = jnp.eye(3)
+        self._t = jnp.zeros(3)
+        self._R_prev = jnp.eye(3)
+        self._t_prev = jnp.zeros(3)
+        self._step = self._build_step()
+        self._frame = 0
+
+    # -- host-side preprocessing ----------------------------------------
+    def _preprocess(self, scan: np.ndarray, labels: Optional[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+        cfg = self.cfg
+        pts = scan[:, :3].astype(np.float32)
+        keep = np.isfinite(pts).all(axis=1)
+        rng = np.linalg.norm(pts, axis=1)
+        keep &= (rng > cfg.min_range) & (rng < cfg.max_range)
+        if labels is not None and cfg.dynamic_classes:
+            keep &= ~np.isin(labels, cfg.dynamic_classes)
+        pts = pts[keep]
+        # one point per voxel
+        grid = np.floor(pts / cfg.scan_voxel).astype(np.int64)
+        grid -= grid.min(0) if len(grid) else 0
+        from ..ops.serialization import z_order_encode_np
+
+        if len(pts):
+            key = z_order_encode_np(np.minimum(grid, 2**16 - 1), depth=16)
+            _, first = np.unique(key, return_index=True)
+            pts = pts[np.sort(first)]
+        n = len(pts)
+        if n > cfg.scan_capacity:
+            sel = np.random.default_rng(0).choice(n, cfg.scan_capacity, replace=False)
+            pts = pts[sel]
+            n = cfg.scan_capacity
+        out = np.zeros((cfg.scan_capacity, 3), np.float32)
+        out[:n] = pts
+        valid = np.zeros(cfg.scan_capacity, bool)
+        valid[:n] = True
+        return out, valid
+
+    # -- jitted per-scan update -----------------------------------------
+    def _build_step(self):
+        cfg = self.cfg
+
+        def step(vmap: VoxelMap, R_prev, t_prev, R_prev2, t_prev2, scan, valid, do_icp):
+            # constant-velocity prediction: T_pred = T_prev (T_prev2^-1 T_prev)
+            Ri, ti = se3.se3_inverse(R_prev2, t_prev2)
+            dR, dt = se3.se3_compose(Ri, ti, R_prev, t_prev)
+            R0, t0 = se3.se3_compose(R_prev, t_prev, dR, dt)
+
+            def run_icp(_):
+                res = point_to_plane_icp(
+                    scan,
+                    valid,
+                    vmap.points,
+                    vmap.valid,
+                    R0,
+                    t0,
+                    iters=cfg.icp_iters,
+                    k=cfg.knn_k,
+                    max_corr_dist=cfg.max_corr_dist,
+                    huber_delta=cfg.huber_delta,
+                    damping=1e-4,
+                    min_planarity=cfg.min_planarity,
+                )
+                return res.R, res.t, res.rmse, res.inliers
+
+            def skip_icp(_):
+                return R0, t0, jnp.asarray(0.0), jnp.asarray(0, jnp.int32)
+
+            R, t, rmse, inliers = jax.lax.cond(do_icp, run_icp, skip_icp, None)
+
+            world = scan @ R.T + t
+            new_map = insert(vmap, world, valid)
+            new_map = prune(new_map, t, cfg.map_radius)
+            return new_map, R, t, rmse, inliers
+
+        return jax.jit(step)
+
+    def process(self, scan: np.ndarray, labels: Optional[np.ndarray] = None) -> np.ndarray:
+        """Feed one scan (N, >=3). Returns the 4x4 world_T_sensor pose."""
+        pts, valid = self._preprocess(scan, labels)
+        do_icp = self._frame > 0
+        self.vmap, R, t, rmse, inliers = self._step(
+            self.vmap,
+            self._R,
+            self._t,
+            self._R_prev,
+            self._t_prev,
+            jnp.asarray(pts),
+            jnp.asarray(valid),
+            do_icp,
+        )
+        self._R_prev, self._t_prev = self._R, self._t
+        self._R, self._t = R, t
+        self._frame += 1
+        pose = np.eye(4, dtype=np.float64)
+        pose[:3, :3] = np.asarray(R)
+        pose[:3, 3] = np.asarray(t)
+        self.poses.append(pose)
+        return pose
+
+    @property
+    def positions(self) -> np.ndarray:
+        return np.array([p[:3, 3] for p in self.poses])

@@ -1,0 +1,107 @@
+"""Point-to-plane ICP scan-to-map registration (Gauss-Newton, jit-safe).
+
+The compute core of the FAST-LIO2-style odometry stage (BASELINE.json; no
+reference implementation exists, SURVEY.md §2.9).  Per iteration:
+
+1. transform scan points by the current pose estimate;
+2. find the 5 nearest map points per scan point (MXU-tiled brute-force knn —
+   `ops/knn.py`);
+3. fit a local plane per correspondence (batched 3x3 eigendecomposition);
+4. robust-weighted point-to-plane residuals -> one 6x6 normal-equation solve
+   (Levenberg damped);
+5. left-multiplicative SE(3) update.
+
+Everything is static-shape: invalid scan/map points carry zero weight.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.knn import knn
+from . import se3
+
+
+class RegistrationResult(NamedTuple):
+    R: jnp.ndarray  # [3, 3]
+    t: jnp.ndarray  # [3]
+    rmse: jnp.ndarray  # scalar, weighted point-to-plane RMSE
+    inliers: jnp.ndarray  # scalar, number of inlier correspondences
+
+
+def _fit_planes(neighbors: jnp.ndarray, nbr_valid: jnp.ndarray):
+    """neighbors [N, k, 3] -> (centroid [N, 3], normal [N, 3], planarity [N])."""
+    w = nbr_valid.astype(jnp.float32)[..., None]
+    count = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    centroid = jnp.sum(neighbors * w, axis=1) / count
+    centered = (neighbors - centroid[:, None, :]) * w
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / count[..., None]
+    eigvals, eigvecs = jnp.linalg.eigh(cov)  # ascending
+    normal = eigvecs[..., 0]
+    planarity = 1.0 - eigvals[..., 0] / jnp.maximum(eigvals[..., 1], 1e-9)
+    return centroid, normal, planarity
+
+
+def point_to_plane_icp(
+    source: jnp.ndarray,  # [N, 3] scan points (sensor frame)
+    source_valid: jnp.ndarray,  # bool[N]
+    target: jnp.ndarray,  # [M, 3] map points (world frame)
+    target_valid: jnp.ndarray,  # bool[M]
+    R_init: jnp.ndarray,
+    t_init: jnp.ndarray,
+    iters: int = 8,
+    k: int = 5,
+    max_corr_dist: float = 1.0,
+    huber_delta: float = 0.3,
+    damping: float = 1e-4,
+    min_planarity: float = 0.7,
+) -> RegistrationResult:
+    n = source.shape[0]
+
+    def body(_, carry):
+        R, t = carry
+        p_w = source @ R.T + t  # [N, 3]
+        idx, sqd = knn(p_w, target, k, base_valid=target_valid)
+        neighbors = jnp.take(target, idx, axis=0)  # [N, k, 3]
+        nbr_valid = sqd < max_corr_dist**2
+        centroid, normal, planarity = _fit_planes(neighbors, nbr_valid)
+
+        r = jnp.sum(normal * (p_w - centroid), axis=-1)  # [N]
+        good = (
+            source_valid
+            & (jnp.sum(nbr_valid, axis=-1) >= 3)
+            & (planarity > min_planarity)
+            & (jnp.abs(r) < max_corr_dist)
+        )
+        # Huber weights
+        absr = jnp.abs(r)
+        w = jnp.where(absr <= huber_delta, 1.0, huber_delta / jnp.maximum(absr, 1e-9))
+        w = w * good.astype(jnp.float32)
+
+        J = jnp.concatenate([jnp.cross(p_w, normal), normal], axis=-1)  # [N, 6]
+        H = jnp.einsum("ni,n,nj->ij", J, w, J) + damping * jnp.eye(6)
+        g = jnp.einsum("ni,n->i", J, w * r)
+        delta = -jnp.linalg.solve(H, g)
+        dR, dt = se3.se3_exp(delta)
+        R_new = dR @ R
+        t_new = (dR @ t[..., None])[..., 0] + dt
+        return R_new, t_new
+
+    R, t = jax.lax.fori_loop(0, iters, body, (R_init, t_init))
+
+    # final stats
+    p_w = source @ R.T + t
+    idx, sqd = knn(p_w, target, k, base_valid=target_valid)
+    neighbors = jnp.take(target, idx, axis=0)
+    nbr_valid = sqd < max_corr_dist**2
+    centroid, normal, planarity = _fit_planes(neighbors, nbr_valid)
+    r = jnp.sum(normal * (p_w - centroid), axis=-1)
+    good = source_valid & (jnp.sum(nbr_valid, axis=-1) >= 3) & (planarity > min_planarity) & (
+        jnp.abs(r) < max_corr_dist
+    )
+    wsum = jnp.maximum(jnp.sum(good), 1)
+    rmse = jnp.sqrt(jnp.sum(jnp.square(r) * good) / wsum)
+    return RegistrationResult(R=R, t=t, rmse=rmse, inliers=jnp.sum(good))

@@ -1,0 +1,102 @@
+"""Pose-graph optimization (Gauss-Newton over SE(3) keyframe poses).
+
+Part of the SLAM backend (BASELINE.json north star; designed fresh — the
+reference has no solver, SURVEY.md §2.9).  Static-shape: a fixed capacity of
+nodes and edges with validity masks; the normal system is dense [6K, 6K]
+(keyframe counts are hundreds at most), solved with a damped Cholesky.
+
+Edge residual: ``r = log( Z_ij^-1 · (T_i^-1 T_j) )`` (right-perturbation
+Jacobians approximated by first order — adequate for the small relative
+errors of odometry graphs).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import se3
+
+
+class PoseGraph(NamedTuple):
+    # nodes
+    R: jnp.ndarray  # [K, 3, 3]
+    t: jnp.ndarray  # [K, 3]
+    node_valid: jnp.ndarray  # bool[K]
+    # edges: relative measurements Z_ij (i -> j)
+    edge_i: jnp.ndarray  # int32[E]
+    edge_j: jnp.ndarray  # int32[E]
+    Z_R: jnp.ndarray  # [E, 3, 3]
+    Z_t: jnp.ndarray  # [E, 3]
+    edge_weight: jnp.ndarray  # f32[E] (0 = invalid)
+
+
+def residuals(graph: PoseGraph) -> jnp.ndarray:
+    """Per-edge 6-vector residuals [E, 6] (w, v)."""
+    Ri = graph.R[graph.edge_i]
+    ti = graph.t[graph.edge_i]
+    Rj = graph.R[graph.edge_j]
+    tj = graph.t[graph.edge_j]
+    Rii, tii = se3.se3_inverse(Ri, ti)
+    R_rel, t_rel = se3.se3_compose(Rii, tii, Rj, tj)  # T_i^-1 T_j
+    ZRi, Zti = se3.se3_inverse(graph.Z_R, graph.Z_t)
+    R_err, t_err = se3.se3_compose(ZRi, Zti, R_rel, t_rel)
+    w = se3.so3_log(R_err)
+    return jnp.concatenate([w, t_err], axis=-1)
+
+
+def optimize(graph: PoseGraph, iters: int = 10, damping: float = 1e-6, fix_first: bool = True) -> PoseGraph:
+    K = graph.R.shape[0]
+
+    def gn_iter(_, g: PoseGraph) -> PoseGraph:
+        r = residuals(g)  # [E, 6]
+
+        # numeric Jacobians wrt the two incident poses via jvp on the local
+        # parameterization (exact to machine precision, vectorized over edges)
+        def edge_res(xi_i, xi_j, idx):
+            dRi, dti = se3.se3_exp(xi_i)
+            dRj, dtj = se3.se3_exp(xi_j)
+            Ri = g.R[g.edge_i[idx]] @ dRi
+            ti = (g.R[g.edge_i[idx]] @ dti[..., None])[..., 0] + g.t[g.edge_i[idx]]
+            Rj = g.R[g.edge_j[idx]] @ dRj
+            tj = (g.R[g.edge_j[idx]] @ dtj[..., None])[..., 0] + g.t[g.edge_j[idx]]
+            Rii, tii = se3.se3_inverse(Ri, ti)
+            R_rel, t_rel = se3.se3_compose(Rii, tii, Rj, tj)
+            ZRi, Zti = se3.se3_inverse(g.Z_R[idx], g.Z_t[idx])
+            R_err, t_err = se3.se3_compose(ZRi, Zti, R_rel, t_rel)
+            return jnp.concatenate([se3.so3_log(R_err), t_err], axis=-1)
+
+        E = g.edge_i.shape[0]
+        zeros = jnp.zeros((E, 6))
+        idxs = jnp.arange(E)
+        Ji = jax.vmap(lambda idx: jax.jacfwd(lambda x: edge_res(x, jnp.zeros(6), idx))(jnp.zeros(6)))(idxs)
+        Jj = jax.vmap(lambda idx: jax.jacfwd(lambda x: edge_res(jnp.zeros(6), x, idx))(jnp.zeros(6)))(idxs)
+
+        w = g.edge_weight[:, None, None]
+        # assemble dense H [K*6, K*6] and b [K*6]
+        H = jnp.zeros((K, K, 6, 6))
+        b = jnp.zeros((K, 6))
+        H = H.at[g.edge_i, g.edge_i].add(w * jnp.einsum("eab,eac->ebc", Ji, Ji))
+        H = H.at[g.edge_j, g.edge_j].add(w * jnp.einsum("eab,eac->ebc", Jj, Jj))
+        H = H.at[g.edge_i, g.edge_j].add(w * jnp.einsum("eab,eac->ebc", Ji, Jj))
+        H = H.at[g.edge_j, g.edge_i].add(w * jnp.einsum("eab,eac->ebc", Jj, Ji))
+        b = b.at[g.edge_i].add(-jnp.einsum("eab,ea->eb", Ji, r * g.edge_weight[:, None]))
+        b = b.at[g.edge_j].add(-jnp.einsum("eab,ea->eb", Jj, r * g.edge_weight[:, None]))
+
+        H = H.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+        b = b.reshape(K * 6)
+        # gauge fixing: anchor node 0 (and clamp invalid nodes)
+        anchor = jnp.zeros((K,), bool).at[0].set(fix_first) | ~graph.node_valid
+        diag_boost = jnp.repeat(anchor.astype(jnp.float32), 6) * 1e8
+        H = H + jnp.diag(diag_boost + damping)
+        delta = jnp.linalg.solve(H, b).reshape(K, 6)
+        delta = jnp.where(anchor[:, None], 0.0, delta)
+
+        dR, dt = se3.se3_exp(delta)
+        R_new = g.R @ dR
+        t_new = (g.R @ dt[..., None])[..., 0] + g.t
+        return g._replace(R=R_new, t=t_new)
+
+    return jax.lax.fori_loop(0, iters, gn_iter, graph)

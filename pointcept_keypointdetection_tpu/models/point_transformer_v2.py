@@ -1,0 +1,254 @@
+"""PTv2 — grouped vector attention backbone, TPU-native.
+
+Capability parity with `pointcept/models/point_transformer_v2/
+point_transformer_v2m2_base.py` (PT-v2m2): GVAPatchEmbed -> 4 encoder stages
+(GridPool + BlockSequence of GroupedVectorAttention) -> symmetric decoder
+(UnpoolWithSkip + BlockSequence) -> head handled by wrappers.  Semantics per
+block match the reference: q/k/v linears (k,q followed by BN+ReLU), knn
+(k=16) neighborhoods, relation = key - query (+ positional bias MLP on the
+coordinate delta, `:116-131`), per-group softmax weights over neighbors,
+mask on missing neighbors.
+
+TPU re-design: the CUDA ``pointops.knn_query``/``grouping`` pipeline becomes
+the MXU-tiled brute-force knn (`ops/knn.py`) + plain gathers; GridPool uses
+``slotted_unique`` over metric voxel codes; unpooling maps children to their
+pooled parent (the reference's "map" skip backend).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.codes import code_or_batch
+from ..ops.knn import knn
+from ..ops.segment import segment_max, segment_mean
+from ..ops.serialization import z_order_encode
+from ..ops.voxelize import slotted_unique
+from .builder import MODELS
+from .norm import DropPath, MaskedBatchNorm
+from .structure import PointBatch
+
+_DEPTH = 16
+
+
+class GroupedVectorAttention(nn.Module):
+    embed_channels: int
+    groups: int
+    qkv_bias: bool = True
+    pe_multiplier: bool = False
+    pe_bias: bool = True
+
+    @nn.compact
+    def __call__(self, feat, coord, nbr_idx, nbr_mask, valid, train: bool):
+        c, g = self.embed_channels, self.groups
+        q = nn.Dense(c, use_bias=self.qkv_bias, name="linear_q")(feat)
+        q = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="bn_q")(q, valid, not train))
+        k = nn.Dense(c, use_bias=self.qkv_bias, name="linear_k")(feat)
+        k = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="bn_k")(k, valid, not train))
+        v = nn.Dense(c, use_bias=self.qkv_bias, name="linear_v")(feat)
+
+        key = jnp.take(k, nbr_idx, axis=0)  # [N, S, C]
+        value = jnp.take(v, nbr_idx, axis=0)
+        pos = jnp.take(coord, nbr_idx, axis=0) - coord[:, None, :]  # [N, S, 3]
+
+        relation = key - q[:, None, :]
+        if self.pe_multiplier:
+            pem = nn.Dense(c, name="pem1")(pos)
+            pem = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="bn_pem")(
+                pem.reshape(-1, c), jnp.ones(pem.size // c, bool), not train
+            ).reshape(pem.shape))
+            pem = nn.Dense(c, name="pem2")(pem)
+            relation = relation * pem
+        if self.pe_bias:
+            peb = nn.Dense(c, name="peb1")(pos)
+            peb = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="bn_peb")(
+                peb.reshape(-1, c), jnp.ones(peb.size // c, bool), not train
+            ).reshape(peb.shape))
+            peb = nn.Dense(c, name="peb2")(peb)
+            relation = relation + peb
+            value = value + peb
+
+        w = nn.Dense(g, name="we1")(relation)
+        w = nn.relu(MaskedBatchNorm(g, momentum=0.1, eps=1e-5, name="bn_we")(
+            w.reshape(-1, g), jnp.ones(w.size // g, bool), not train
+        ).reshape(w.shape))
+        w = nn.Dense(g, name="we2")(w)  # [N, S, G]
+        w = jnp.where(nbr_mask[..., None], w, -1e9)
+        w = jax.nn.softmax(w, axis=1)
+        w = w * nbr_mask[..., None]
+
+        value = value.reshape(value.shape[0], value.shape[1], g, c // g)
+        out = jnp.einsum("nsgi,nsg->ngi", value, w)
+        return out.reshape(-1, c)
+
+
+class Block(nn.Module):
+    embed_channels: int
+    groups: int
+    qkv_bias: bool = True
+    pe_multiplier: bool = False
+    pe_bias: bool = True
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, point: PointBatch, nbr_idx, nbr_mask, train: bool):
+        c = self.embed_channels
+        identity = point.feat
+        feat = nn.Dense(c, use_bias=False, name="fc1")(point.feat)
+        feat = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="norm1")(feat, point.valid, not train))
+        feat = GroupedVectorAttention(
+            c, self.groups, self.qkv_bias, self.pe_multiplier, self.pe_bias, name="attn"
+        )(feat, point.coord, nbr_idx, nbr_mask, point.valid, train)
+        feat = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="norm2")(feat, point.valid, not train))
+        feat = nn.Dense(c, use_bias=False, name="fc3")(feat)
+        feat = MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="norm3")(feat, point.valid, not train)
+        feat = DropPath(self.drop_path, name="dp")(feat, point.num_samples, not train)
+        feat = nn.relu(identity + feat)
+        return point.replace(feat=feat)
+
+
+class BlockSequence(nn.Module):
+    depth: int
+    embed_channels: int
+    groups: int
+    neighbours: int = 16
+    qkv_bias: bool = True
+    pe_multiplier: bool = False
+    pe_bias: bool = True
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool):
+        batch = point.batch
+        nbr_idx, sqd = knn(
+            point.coord, point.coord, self.neighbours,
+            query_batch=batch, base_batch=batch, base_valid=point.valid,
+        )
+        nbr_mask = (sqd < 1e9) & point.valid[:, None]
+        for i in range(self.depth):
+            point = Block(
+                self.embed_channels, self.groups, self.qkv_bias,
+                self.pe_multiplier, self.pe_bias, self.drop_path,
+                name=f"block{i}",
+            )(point, nbr_idx, nbr_mask, train)
+        return point
+
+
+class GridPool(nn.Module):
+    """Voxel-grid pooling (`point_transformer_v2m2_base.py:236-276`)."""
+
+    out_channels: int
+    grid_size: float
+
+    @nn.compact
+    def __call__(self, point: PointBatch, slot_capacity: int, train: bool):
+        batch = point.batch
+        # per-sample min coordinate as the grid start
+        big = jnp.where(point.valid[:, None], point.coord, jnp.inf)
+        start = jnp.full((point.num_samples, 3), jnp.inf).at[batch].min(big, mode="drop")
+        grid = jnp.floor((point.coord - start[batch]) / self.grid_size).astype(jnp.int32)
+        grid = jnp.clip(grid, 0, (1 << _DEPTH) - 1)
+        code = code_or_batch(z_order_encode(grid, _DEPTH), batch, _DEPTH)
+        su = slotted_unique(code, point.valid, batch, point.num_samples, slot_capacity)
+        m = point.num_samples * slot_capacity
+
+        c = self.out_channels
+        feat = nn.Dense(c, use_bias=False, name="fc")(point.feat)
+        feat = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="norm")(feat, point.valid, not train))
+        feat = jnp.where(point.valid[:, None], feat, 0.0)
+        pooled_feat = segment_max(feat, su.parent_row, m)
+        pooled_coord = segment_mean(point.coord * point.valid[:, None], su.parent_row, m)
+        head = jnp.minimum(su.head_row, point.num_points - 1)
+        pooled_grid = jnp.where(su.out_valid[:, None], jnp.take(grid, head, axis=0), 0)
+        pooled = PointBatch(
+            coord=pooled_coord, feat=pooled_feat, grid_coord=pooled_grid,
+            valid=su.out_valid, num_samples=point.num_samples,
+        )
+        return pooled, su
+
+
+class UnpoolWithSkip(nn.Module):
+    """Map-backend unpooling + skip (`:279-330`)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, pooled: PointBatch, skip: PointBatch, su, train: bool):
+        c = self.out_channels
+        feat = nn.Dense(c, use_bias=False, name="proj")(pooled.feat)
+        feat = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="norm")(feat, pooled.valid, not train))
+        skip_feat = nn.Dense(c, use_bias=False, name="proj_skip")(skip.feat)
+        skip_feat = nn.relu(
+            MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="norm_skip")(skip_feat, skip.valid, not train)
+        )
+        pad = jnp.concatenate([feat, jnp.zeros((1, c), feat.dtype)], axis=0)
+        prow = jnp.minimum(su.parent_row, feat.shape[0])
+        return skip.replace(feat=jnp.take(pad, prow, axis=0) + skip_feat)
+
+
+@MODELS.register_module("PT-v2m2")
+class PointTransformerV2(nn.Module):
+    in_channels: int = 6
+    patch_embed_depth: int = 1
+    patch_embed_channels: int = 48
+    patch_embed_groups: int = 6
+    patch_embed_neighbours: int = 8
+    enc_depths: Sequence[int] = (2, 2, 6, 2)
+    enc_channels: Sequence[int] = (96, 192, 384, 512)
+    enc_groups: Sequence[int] = (12, 24, 48, 64)
+    enc_neighbours: Sequence[int] = (16, 16, 16, 16)
+    dec_depths: Sequence[int] = (1, 1, 1, 1)
+    dec_channels: Sequence[int] = (48, 96, 192, 384)
+    dec_groups: Sequence[int] = (6, 12, 24, 48)
+    dec_neighbours: Sequence[int] = (16, 16, 16, 16)
+    grid_sizes: Sequence[float] = (0.06, 0.12, 0.24, 0.48)
+    qkv_bias: bool = True
+    pe_multiplier: bool = False
+    pe_bias: bool = True
+    drop_path_rate: float = 0.3
+    slot_divisors: Sequence[int] = (2, 4, 8, 16)
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool = False):
+        num_stages = len(self.enc_depths)
+        slot0 = point.slot_size
+
+        # patch embed
+        c0 = self.patch_embed_channels
+        feat = nn.Dense(c0, use_bias=False, name="embed_fc")(point.feat)
+        feat = nn.relu(MaskedBatchNorm(c0, momentum=0.1, eps=1e-5, name="embed_norm")(feat, point.valid, not train))
+        point = point.replace(feat=feat)
+        point = BlockSequence(
+            self.patch_embed_depth, c0, self.patch_embed_groups,
+            self.patch_embed_neighbours, self.qkv_bias, self.pe_multiplier, self.pe_bias,
+            name="patch_embed",
+        )(point, train)
+
+        # encoder: skip[s] = the pre-pool PointBatch of stage s
+        skips, sus = [], []
+        x = point
+        for s in range(num_stages):
+            skips.append(x)
+            cap = max(slot0 // self.slot_divisors[s], 16)
+            x, su = GridPool(self.enc_channels[s], self.grid_sizes[s], name=f"enc{s}_pool")(x, cap, train)
+            sus.append(su)
+            x = BlockSequence(
+                self.enc_depths[s], self.enc_channels[s], self.enc_groups[s],
+                self.enc_neighbours[s], self.qkv_bias, self.pe_multiplier, self.pe_bias,
+                self.drop_path_rate * s / max(num_stages - 1, 1),
+                name=f"enc{s}",
+            )(x, train)
+
+        # decoder
+        for s in reversed(range(num_stages)):
+            x = UnpoolWithSkip(self.dec_channels[s], name=f"dec{s}_up")(x, skips[s], sus[s], train)
+            x = BlockSequence(
+                self.dec_depths[s], self.dec_channels[s], self.dec_groups[s],
+                self.dec_neighbours[s], self.qkv_bias, self.pe_multiplier, self.pe_bias,
+                name=f"dec{s}",
+            )(x, train)
+        return x.feat

@@ -1,0 +1,66 @@
+_base_ = ["../_base_/default_runtime.py"]
+# BASELINE config #3: PTv3 semseg on SemanticKITTI (feeds per-scan labels into
+# the SLAM frontend; mirrors reference semantic_kitti recipes)
+
+num_classes = 19
+batch_size = 8
+slot_size = 131072
+mix_prob = 0.8
+eval_epoch = 50
+
+model = dict(
+    type="DefaultSegmentor",
+    backbone=dict(
+        type="PT-v3m1",
+        in_channels=4,  # coord + strength
+        stride=(2, 2, 2, 2),
+        enc_depths=(2, 2, 2, 6, 2),
+        enc_channels=(32, 64, 128, 256, 512),
+        enc_num_head=(2, 4, 8, 16, 32),
+        enc_patch_size=(128, 128, 128, 128, 128),
+        dec_depths=(2, 2, 2, 2),
+        dec_channels=(64, 64, 128, 256),
+        dec_num_head=(4, 4, 8, 16),
+        dec_patch_size=(128, 128, 128, 128),
+        drop_path=0.3,
+        slot_divisors=(1, 4, 16, 32, 64),
+    ),
+    criteria=[
+        dict(type="CrossEntropyLoss", loss_weight=1.0, ignore_index=-1),
+        dict(type="LovaszLoss", mode="multiclass", loss_weight=1.0, ignore_index=-1),
+    ],
+)
+
+optimizer = dict(type="AdamW", lr=2e-3, weight_decay=0.005)
+scheduler = dict(type="OneCycleLR", pct_start=0.04, div_factor=10.0, final_div_factor=100.0)
+
+_train_transform = [
+    dict(type="RandomRotate", angle=[-1, 1], axis="z", center=[0, 0, 0], p=0.5),
+    dict(type="RandomScale", scale=[0.9, 1.1]),
+    dict(type="RandomFlip", p=0.5),
+    dict(type="RandomJitter", sigma=0.005, clip=0.02),
+    dict(type="PointClip", point_cloud_range=(-75.2, -75.2, -4, 75.2, 75.2, 2)),
+    dict(type="GridSample", grid_size=0.05, hash_type="fnv", mode="train", return_grid_coord=True),
+    dict(type="Collect", keys=("coord", "grid_coord", "segment"), feat_keys=("coord", "strength")),
+]
+
+data = dict(
+    num_classes=num_classes,
+    ignore_index=-1,
+    train=dict(
+        type="SemanticKITTIDataset",
+        split="train",
+        data_root="data/semantic_kitti",
+        transform=_train_transform,
+    ),
+    val=dict(
+        type="SemanticKITTIDataset",
+        split="val",
+        data_root="data/semantic_kitti",
+        transform=[
+            dict(type="PointClip", point_cloud_range=(-75.2, -75.2, -4, 75.2, 75.2, 2)),
+            dict(type="GridSample", grid_size=0.05, hash_type="fnv", mode="train", return_grid_coord=True),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"), feat_keys=("coord", "strength")),
+        ],
+    ),
+)

@@ -1,0 +1,76 @@
+"""ScanNet / ScanNet200 / S3DIS scene datasets.
+
+Parity surface: `pointcept/datasets/scannet.py` (ScanNetDataset with 20/200
+class splits, sampled-index data-efficient splits) and `s3dis.py` — both are
+directory-of-.npy readers over the preprocessing outputs, so they specialize
+``DefaultDataset`` with class metadata and label remapping.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .builder import DATASETS
+from .defaults import DefaultDataset
+
+SCANNET_20_CLASSES = (
+    "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door", "window",
+    "bookshelf", "picture", "counter", "desk", "curtain", "refrigerator",
+    "shower curtain", "toilet", "sink", "bathtub", "otherfurniture",
+)
+
+S3DIS_CLASSES = (
+    "ceiling", "floor", "wall", "beam", "column", "window", "door", "table",
+    "chair", "sofa", "bookcase", "board", "clutter",
+)
+
+
+@DATASETS.register_module()
+class ScanNetDataset(DefaultDataset):
+    class_names = SCANNET_20_CLASSES
+
+    def __init__(self, lr_file=None, la_file=None, **kwargs):
+        self.lr = np.loadtxt(lr_file, dtype=str) if lr_file is not None else None
+        self.la = np.load(la_file, allow_pickle=True).item() if la_file is not None else None
+        super().__init__(**kwargs)
+
+    def get_data_list(self):
+        if self.lr is None:
+            return super().get_data_list()
+        return [os.path.join(self.data_root, "train", name) for name in self.lr]
+
+    def get_data(self, idx):
+        data_dict = super().get_data(idx)
+        if "segment20" in os.listdir(self.data_list[idx % len(self.data_list)]):
+            data_dict["segment"] = (
+                np.load(os.path.join(self.data_list[idx % len(self.data_list)], "segment20.npy"))
+                .reshape(-1)
+                .astype(np.int32)
+            )
+        if self.la:
+            sampled_index = self.la[self.get_data_name(idx)]
+            mask = np.ones_like(data_dict["segment"], bool)
+            mask[sampled_index] = False
+            data_dict["segment"][mask] = self.ignore_index
+            data_dict["sampled_index"] = sampled_index
+        return data_dict
+
+
+@DATASETS.register_module()
+class ScanNet200Dataset(ScanNetDataset):
+    class_names = tuple(f"class{i}" for i in range(200))
+
+    def get_data(self, idx):
+        data_dict = DefaultDataset.get_data(self, idx)
+        path = self.data_list[idx % len(self.data_list)]
+        seg_file = os.path.join(path, "segment200.npy")
+        if os.path.exists(seg_file):
+            data_dict["segment"] = np.load(seg_file).reshape(-1).astype(np.int32)
+        return data_dict
+
+
+@DATASETS.register_module()
+class S3DISDataset(DefaultDataset):
+    class_names = S3DIS_CLASSES

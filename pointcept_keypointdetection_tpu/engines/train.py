@@ -263,6 +263,59 @@ class Trainer(TrainerBase):
         self.logger.info("==>Training done!")
 
 
+@TRAINERS.register_module("MultiDatasetTrainer")
+class MultiDatasetTrainer(Trainer):
+    """PPT multi-dataset training (parity: `engines/train.py:358` +
+    `datasets/dataloader.py:23`): one sub-loader per dataset, round-robin,
+    per-dataset ``loop`` as the mix ratio; each batch carries its dataset's
+    ``condition`` index."""
+
+    def build_train_loader(self):
+        from ..datasets import MultiDatasetLoader
+
+        cfg = self.cfg
+        num_shards = jax.process_count()
+        loaders = []
+        for i, ds_cfg in enumerate(cfg.data.train.datasets):
+            ds_cfg = dict(ds_cfg)
+            condition = ds_cfg.pop("condition", i)
+            dataset = _ConditionedDataset(build_dataset(ds_cfg), condition)
+            loaders.append(
+                Dataloader(
+                    dataset,
+                    batch_size=cfg.batch_size // num_shards,
+                    slot_size=cfg.slot_size,
+                    shuffle=True,
+                    drop_last=True,
+                    mix_prob=cfg.get("mix_prob", 0.0),
+                    seed=(cfg.get("seed", 0) or 0) + i,
+                    num_shards=num_shards,
+                    shard_id=jax.process_index(),
+                )
+            )
+        return MultiDatasetLoader(loaders)
+
+    def before_epoch(self):
+        self.train_loader.set_epoch(self.epoch)
+        TrainerBase.before_epoch(self)
+
+
+class _ConditionedDataset:
+    """Wrap a dataset to stamp a per-sample integer ``condition``."""
+
+    def __init__(self, dataset, condition: int):
+        self.dataset = dataset
+        self.condition = condition
+
+    def __getitem__(self, idx):
+        data = self.dataset[idx]
+        data["condition"] = np.asarray(self.condition, np.int32)
+        return data
+
+    def __len__(self):
+        return len(self.dataset)
+
+
 def _default_hooks():
     return [
         dict(type="IterationTimer", warmup_iter=2),

@@ -1,0 +1,128 @@
+"""Point Prompt Training (PPT) — multi-dataset joint training.
+
+Parity surface: `pointcept/models/point_prompt_training/` —
+* ``PDNorm`` (`prompt_driven_normalization.py:7-47`): per-dataset-condition
+  decoupled normalization + optional adaptive scale/shift from a context
+  embedding.  TPU design: ONE stat computation with per-condition
+  scale/bias/running-stat tables gathered by the sample's condition index
+  (instead of N separate module branches) — same math, no branching.
+* ``PPT-v1m2`` decoupled wrapper (`point_prompt_training_v1m2_decoupled.py:
+  18-60`): condition -> embedding-table context injected into the stem
+  features + per-dataset segmentation heads selected by condition.
+
+The condition index rides the batch dict as ``condition`` (int32 per sample);
+`MultiDatasetLoader` batches are single-dataset, so the index is uniform per
+batch but the implementation supports mixed batches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .builder import MODELS, MODULES, build_model
+from .losses import build_criteria
+from .structure import PointBatch
+
+
+@MODULES.register_module()
+class PDNorm(nn.Module):
+    """Prompt-driven BatchNorm with per-condition parameter/stat tables."""
+
+    features: int
+    num_conditions: int
+    eps: float = 1e-3
+    momentum: float = 0.01
+    adaptive: bool = False
+    context_channels: int = 256
+
+    @nn.compact
+    def __call__(self, x, valid, condition, context=None, use_running_average: bool = True):
+        """x [N, C]; condition int32[N] (per point); context [N, ctx] optional."""
+        C, M = self.features, self.num_conditions
+        scale = self.param("scale", nn.initializers.ones, (M, C), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (M, C), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((M, C), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((M, C), jnp.float32))
+
+        cond = jnp.clip(condition, 0, M - 1)
+        w = valid.astype(jnp.float32)[:, None]
+        if use_running_average:
+            mean = jnp.take(ra_mean.value, cond, axis=0)
+            var = jnp.take(ra_var.value, cond, axis=0)
+        else:
+            # per-condition masked statistics in one pass
+            onehot = jax.nn.one_hot(cond, M) * w  # [N, M]
+            count = jnp.maximum(jnp.sum(onehot, axis=0), 1.0)[:, None]  # [M, 1]
+            xf = x.astype(jnp.float32)
+            mean_m = (onehot.T @ xf) / count  # [M, C]
+            var_m = (onehot.T @ jnp.square(xf)) / count - jnp.square(mean_m)
+            if not self.is_initializing():
+                seen = (jnp.sum(onehot, axis=0) > 0)[:, None]
+                mom = self.momentum * seen
+                ra_mean.value = (1 - mom) * ra_mean.value + mom * mean_m
+                ra_var.value = (1 - mom) * ra_var.value + mom * jnp.maximum(var_m, 0.0)
+            mean = jnp.take(mean_m, cond, axis=0)
+            var = jnp.take(jnp.maximum(var_m, 0.0), cond, axis=0)
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * jnp.take(scale, cond, axis=0) + jnp.take(bias, cond, axis=0)
+        if self.adaptive and context is not None:
+            mod = nn.Dense(2 * C, use_bias=False, name="modulation")(nn.silu(context))
+            g, b = jnp.split(mod, 2, axis=-1)
+            y = y * (1 + g) + b
+        return y.astype(x.dtype)
+
+
+@MODELS.register_module("PPT-v1m2")
+class PointPromptTraining(nn.Module):
+    """Decoupled-head multi-dataset segmentor.
+
+    backbone is any registered backbone returning per-point features; the
+    condition embedding is concatenated to the input features (prompting the
+    stem), and each dataset gets its own linear head.
+    """
+
+    backbone: Dict[str, Any]
+    criteria: Sequence[Dict[str, Any]] = ()
+    conditions: Sequence[str] = ("ScanNet", "S3DIS", "Structured3D")
+    num_classes: Sequence[int] = (20, 13, 25)
+    context_channels: int = 32
+    backbone_out_channels: int = 64
+
+    @nn.compact
+    def __call__(self, point: PointBatch, batch: Dict[str, jnp.ndarray], train: bool = False):
+        M = len(self.conditions)
+        cond_per_sample = batch.get(
+            "condition", jnp.zeros((point.num_samples,), jnp.int32)
+        ).reshape(-1).astype(jnp.int32)
+        cond = jnp.repeat(cond_per_sample, point.slot_size)  # [N]
+
+        embed = self.param(
+            "condition_embedding", nn.initializers.normal(0.02), (M, self.context_channels), jnp.float32
+        )
+        context = jnp.take(embed, jnp.clip(cond, 0, M - 1), axis=0)
+        point = point.replace(feat=jnp.concatenate([point.feat, context.astype(point.feat.dtype)], axis=-1))
+
+        feat = build_model(dict(self.backbone))(point, train=train)
+
+        # decoupled per-dataset heads, padded to the max class count
+        max_k = max(self.num_classes)
+        logits_all = []
+        for i, k in enumerate(self.num_classes):
+            logit = nn.Dense(k, name=f"seg_head_{self.conditions[i]}")(feat)
+            pad = jnp.full((feat.shape[0], max_k - k), -1e9, logit.dtype)
+            logits_all.append(jnp.concatenate([logit, pad], axis=-1))
+        logits = jnp.stack(logits_all, axis=1)  # [N, M, max_k]
+        logits = jnp.take_along_axis(
+            logits, jnp.clip(cond, 0, M - 1)[:, None, None].repeat(max_k, axis=2), axis=1
+        )[:, 0]
+
+        out = {"seg_logits": logits}
+        if "segment" in batch and len(self.criteria) > 0:
+            crit = build_criteria([dict(c) for c in self.criteria])
+            out["loss"] = crit(logits, batch["segment"], valid=point.valid)
+        return out

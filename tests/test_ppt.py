@@ -1,0 +1,76 @@
+"""PPT multi-dataset wrapper + PDNorm."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcept_keypointdetection_tpu.models import MODELS, MODULES, PointBatch
+
+
+def _point(rng, B=2, S=128, C=4):
+    coords = rng.uniform(0, 0.8, (B, S, 3)).astype(np.float32)
+    grid = np.floor(coords / 0.05).astype(np.int32)
+    valid = np.ones((B, S), bool)
+    valid[:, -8:] = False
+    feat = rng.normal(size=(B, S, C)).astype(np.float32)
+    return PointBatch(
+        coord=jnp.asarray(coords.reshape(-1, 3)),
+        feat=jnp.asarray(feat.reshape(-1, C)),
+        grid_coord=jnp.asarray(grid.reshape(-1, 3)),
+        valid=jnp.asarray(valid.reshape(-1)),
+        num_samples=B,
+    )
+
+
+def test_pdnorm_per_condition_stats(rng):
+    pdnorm = MODULES.build(dict(type="PDNorm", features=8, num_conditions=2))
+    x = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+    x = x.at[32:].add(5.0)  # condition 1 has shifted stats
+    cond = jnp.concatenate([jnp.zeros(32, jnp.int32), jnp.ones(32, jnp.int32)])
+    valid = jnp.ones(64, bool)
+    variables = pdnorm.init(jax.random.PRNGKey(0), x, valid, cond, use_running_average=False)
+    y, mutated = pdnorm.apply(
+        variables, x, valid, cond, use_running_average=False, mutable=["batch_stats"]
+    )
+    y = np.asarray(y)
+    # each condition normalized by its own stats -> both halves ~N(0,1)
+    assert abs(y[:32].mean()) < 1e-4 and abs(y[32:].mean()) < 1e-4
+    stats = mutated["batch_stats"]
+    assert float(stats["mean"][1].mean()) > float(stats["mean"][0].mean())
+
+
+def test_ppt_decoupled_heads(rng):
+    model = MODELS.build(
+        dict(
+            type="PPT-v1m2",
+            conditions=("A", "B"),
+            num_classes=(5, 3),
+            context_channels=8,
+            backbone=dict(
+                type="SpUNet-v1m1",
+                in_channels=4 + 8,
+                num_classes=0,
+                base_channels=8,
+                channels=(8, 16, 16, 16, 16, 16, 8, 8),
+                layers=(1, 1, 1, 1, 1, 1, 1, 1),
+                stem_kernel=3,
+            ),
+            criteria=[dict(type="CrossEntropyLoss")],
+        )
+    )
+    point = _point(rng)
+    batch = {
+        "condition": jnp.asarray([0, 1], jnp.int32),
+        "segment": jnp.asarray(rng.integers(0, 3, 256).astype(np.int32)),
+    }
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(0)}, point, batch
+    )
+    out = model.apply(variables, point, batch, train=False)
+    logits = np.asarray(out["seg_logits"])
+    assert logits.shape == (256, 5)
+    # condition-1 sample rows use the 3-class head: classes 3,4 padded to -1e9
+    assert (logits[128:, 3:] < -1e8).all()
+    assert np.isfinite(float(out["loss"]))

@@ -6,3 +6,6 @@ from . import defaults  # noqa: F401  (registers datasets)
 from . import keypoint_dataset  # noqa: F401
 from . import pigseg  # noqa: F401
 from . import synthetic  # noqa: F401
+from . import scannet  # noqa: F401
+from . import semantic_kitti  # noqa: F401
+from . import modelnet  # noqa: F401

@@ -5,6 +5,7 @@ from . import default  # noqa: F401  (registers task wrappers)
 from . import sparse_unet  # noqa: F401
 from . import point_transformer_v3  # noqa: F401
 from . import point_transformer_v2  # noqa: F401
+from . import point_transformer  # noqa: F401
 from . import keypoint  # noqa: F401
 from . import point_prompt_training  # noqa: F401
 from . import losses  # noqa: F401

@@ -1,0 +1,182 @@
+"""PTv1 — original Point Transformer (vector attention), TPU-native.
+
+Capability parity with `pointcept/models/point_transformer/` (seg/cls):
+PointTransformerLayer vector attention over knn neighborhoods, FPS-based
+TransitionDown, interpolation-based TransitionUp — the pointops CUDA calls
+replaced by `ops/sampling.farthest_point_sampling`, `ops/knn` and
+`ops/knn.three_nn_interpolate`.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.knn import knn, three_nn_interpolate
+from ..ops.sampling import farthest_point_sampling
+from .builder import MODELS
+from .norm import MaskedBatchNorm
+from .structure import PointBatch
+
+
+class VectorAttentionLayer(nn.Module):
+    out_planes: int
+    share_planes: int = 8
+    nsample: int = 16
+
+    @nn.compact
+    def __call__(self, feat, coord, nbr_idx, nbr_mask, valid, train: bool):
+        c, s = self.out_planes, self.share_planes
+        q = nn.Dense(c, name="linear_q")(feat)
+        k = nn.Dense(c, name="linear_k")(feat)
+        v = nn.Dense(c, name="linear_v")(feat)
+        key = jnp.take(k, nbr_idx, axis=0)  # [N, S, C]
+        value = jnp.take(v, nbr_idx, axis=0)
+        pos = jnp.take(coord, nbr_idx, axis=0) - coord[:, None, :]
+
+        # positional encoding MLP (3 -> 3 -> C)
+        p = nn.Dense(3, name="pe1")(pos)
+        p = nn.relu(MaskedBatchNorm(3, momentum=0.1, eps=1e-5, name="pe_bn")(
+            p.reshape(-1, 3), jnp.ones(p.size // 3, bool), not train
+        ).reshape(p.shape))
+        p = nn.Dense(c, name="pe2")(p)
+
+        rel = key - q[:, None, :] + p
+        w = nn.Dense(c // s, name="w1")(rel)
+        w = nn.relu(MaskedBatchNorm(c // s, momentum=0.1, eps=1e-5, name="w_bn")(
+            w.reshape(-1, c // s), jnp.ones(w.size // (c // s), bool), not train
+        ).reshape(w.shape))
+        w = nn.Dense(c // s, name="w2")(w)
+        w = jnp.where(nbr_mask[..., None], w, -1e9)
+        w = jax.nn.softmax(w, axis=1) * nbr_mask[..., None]
+
+        value = (value + p).reshape(value.shape[0], value.shape[1], c // s, s)
+        out = jnp.einsum("nsgi,nsg->ngi", value, w).reshape(-1, c)
+        return out
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    share_planes: int = 8
+    nsample: int = 16
+
+    @nn.compact
+    def __call__(self, point: PointBatch, nbr_idx, nbr_mask, train: bool):
+        c = self.planes
+        identity = point.feat
+        feat = nn.Dense(c, use_bias=False)(point.feat)
+        feat = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5)(feat, point.valid, not train))
+        feat = VectorAttentionLayer(c, self.share_planes, self.nsample)(
+            feat, point.coord, nbr_idx, nbr_mask, point.valid, train
+        )
+        feat = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5)(feat, point.valid, not train))
+        feat = nn.Dense(c, use_bias=False)(feat)
+        feat = MaskedBatchNorm(c, momentum=0.1, eps=1e-5)(feat, point.valid, not train)
+        if identity.shape[-1] != c:
+            identity = nn.Dense(c, use_bias=False)(identity)
+        return point.replace(feat=nn.relu(identity + feat))
+
+
+class TransitionDown(nn.Module):
+    """FPS subsample + knn max-pool aggregation (PTv1 TransitionDown)."""
+
+    out_planes: int
+    stride: int
+    nsample: int = 16
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool):
+        B = point.num_samples
+        S = point.slot_size
+        S_out = max(S // self.stride, 1)
+        c = self.out_planes
+
+        # per-sample FPS on each slot
+        coords = point.coord.reshape(B, S, 3)
+        valids = point.valid.reshape(B, S)
+        sel = jax.vmap(lambda xyz, v: farthest_point_sampling(xyz, S_out, v))(coords, valids)  # [B, S_out]
+        rows = sel + (jnp.arange(B, dtype=jnp.int32) * S)[:, None]
+        rows = rows.reshape(-1)
+        new_coord = jnp.take(point.coord, rows, axis=0)
+        new_valid = jnp.take(point.valid, rows, axis=0)
+        batch = point.batch
+        new_batch = jnp.take(batch, rows, axis=0)
+
+        feat = nn.Dense(c, use_bias=False)(jnp.concatenate([point.feat, point.coord], -1))
+        feat = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5)(feat, point.valid, not train))
+        nbr_idx, sqd = knn(new_coord, point.coord, self.nsample, new_batch, batch, point.valid)
+        gathered = jnp.take(feat, nbr_idx, axis=0)  # [M, k, C]
+        gathered = jnp.where((sqd < 1e9)[..., None], gathered, -jnp.inf)
+        pooled = jnp.max(gathered, axis=1)
+        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+        return PointBatch(
+            coord=new_coord,
+            feat=pooled,
+            grid_coord=jnp.take(point.grid_coord, rows, axis=0),
+            valid=new_valid,
+            num_samples=B,
+        )
+
+
+class TransitionUp(nn.Module):
+    out_planes: int
+
+    @nn.compact
+    def __call__(self, pooled: PointBatch, skip: PointBatch, train: bool):
+        c = self.out_planes
+        f1 = nn.Dense(c, use_bias=False)(pooled.feat)
+        f1 = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5)(f1, pooled.valid, not train))
+        f2 = nn.Dense(c, use_bias=False)(skip.feat)
+        f2 = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5)(f2, skip.valid, not train))
+        interp = three_nn_interpolate(
+            skip.coord, pooled.coord, f1,
+            query_batch=skip.batch, base_batch=pooled.batch, base_valid=pooled.valid,
+        )
+        return skip.replace(feat=f2 + interp)
+
+
+@MODELS.register_module("PT-v1")
+class PointTransformerV1(nn.Module):
+    in_channels: int = 6
+    planes: Sequence[int] = (32, 64, 128, 256, 512)
+    blocks: Sequence[int] = (2, 3, 4, 6, 3)
+    strides: Sequence[int] = (1, 4, 4, 4, 4)
+    share_planes: int = 8
+    nsample: Sequence[int] = (8, 16, 16, 16, 16)
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool = False):
+        x = point
+        skips = []
+        for s, (c, depth, stride, ns) in enumerate(
+            zip(self.planes, self.blocks, self.strides, self.nsample)
+        ):
+            if stride == 1:
+                feat = nn.Dense(c, use_bias=False, name=f"enc{s}_proj")(x.feat)
+                feat = nn.relu(
+                    MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name=f"enc{s}_norm")(feat, x.valid, not train)
+                )
+                x = x.replace(feat=feat)
+            else:
+                x = TransitionDown(c, stride, ns, name=f"enc{s}_down")(x, train)
+            b = x.batch
+            nbr_idx, sqd = knn(x.coord, x.coord, ns, b, b, x.valid)
+            nbr_mask = (sqd < 1e9) & x.valid[:, None]
+            for i in range(depth):
+                x = Bottleneck(c, self.share_planes, ns, name=f"enc{s}_block{i}")(x, nbr_idx, nbr_mask, train)
+            skips.append(x)
+
+        # decoder
+        x = skips[-1]
+        for s in reversed(range(len(self.planes) - 1)):
+            x = TransitionUp(self.planes[s], name=f"dec{s}_up")(x, skips[s], train)
+            b = x.batch
+            nbr_idx, sqd = knn(x.coord, x.coord, self.nsample[s], b, b, x.valid)
+            nbr_mask = (sqd < 1e9) & x.valid[:, None]
+            x = Bottleneck(self.planes[s], self.share_planes, self.nsample[s], name=f"dec{s}_block")(
+                x, nbr_idx, nbr_mask, train
+            )
+        return x.feat

@@ -6,6 +6,8 @@ resume = False
 evaluate = True
 amp = None  # None | "bf16"
 clip_grad = None
+gradient_accumulation_steps = 1
+remat = False
 
 batch_size = 8
 batch_size_val = None

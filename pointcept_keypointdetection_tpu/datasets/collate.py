@@ -26,6 +26,7 @@ PER_POINT_KEYS = (
     "displacement",
     "keypoint_offset",
     "keypoint_mask",
+    "instance_centroid",
     "inverse",
     "index",
 )

@@ -502,6 +502,42 @@ class ShufflePoint:
 
 
 @TRANSFORMS.register_module()
+class InstanceParser:
+    """Prepare instance targets: remap ids, per-point instance centroid.
+
+    Parity surface: `transform.py:1239-1283` — instances whose semantic class
+    is ignored get the instance ignore index; emits ``instance_centroid``
+    (N, 3) used by PointGroup's shift-vector loss.
+    """
+
+    def __init__(self, segment_ignore_index=(-1, 0, 1), instance_ignore_index=-1):
+        self.segment_ignore_index = segment_ignore_index
+        self.instance_ignore_index = instance_ignore_index
+
+    def __call__(self, data_dict):
+        coord = data_dict["coord"]
+        segment = data_dict["segment"]
+        instance = data_dict["instance"].copy()
+        mask = ~np.isin(segment, self.segment_ignore_index)
+        instance[~mask] = self.instance_ignore_index
+        # compact ids
+        uniq = np.unique(instance[instance != self.instance_ignore_index])
+        remap = {old: new for new, old in enumerate(uniq)}
+        out = np.full_like(instance, self.instance_ignore_index)
+        for old, new in remap.items():
+            out[instance == old] = new
+        centroid = coord.copy()
+        for new in range(len(uniq)):
+            sel = out == new
+            centroid[sel] = coord[sel].mean(0)
+        data_dict["instance"] = out
+        data_dict["instance_centroid"] = centroid.astype(np.float32)
+        if "instance_centroid" not in data_dict.get("index_valid_keys", ()):
+            data_dict.setdefault("index_valid_keys", list(VALID_INDEX_KEYS)).append("instance_centroid")
+        return data_dict
+
+
+@TRANSFORMS.register_module()
 class CropBoundary:
     def __call__(self, data_dict):
         segment = data_dict["segment"].flatten()

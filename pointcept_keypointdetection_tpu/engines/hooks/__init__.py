@@ -3,3 +3,4 @@ from .default import HookBase
 from . import misc  # noqa: F401  (registers hooks)
 from . import evaluator  # noqa: F401
 from . import keypoint_evaluator  # noqa: F401
+from . import insseg_evaluator  # noqa: F401

@@ -14,3 +14,4 @@ from .voxelize import unique_with_capacity, slotted_unique, SlottedUniqueResult
 from .sparse import build_kernel_map, sparse_conv, SparseConvSpec
 from .knn import knn, ball_query, three_nn_interpolate
 from .sampling import farthest_point_sampling
+from .cluster import connected_components

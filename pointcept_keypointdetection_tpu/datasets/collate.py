@@ -35,24 +35,39 @@ PER_SAMPLE_KEYS = ("keypoint", "category", "scale", "centroid", "condition", "we
 _PAD_VALUES = {"segment": -1, "instance": -1}
 
 
+def _is_per_point(key: str) -> bool:
+    return key in PER_POINT_KEYS or key.startswith("view1_") or key.startswith("view2_")
+
+
 def pad_sample(sample: Dict[str, np.ndarray], slot_size: int) -> Dict[str, np.ndarray]:
-    """Pad/subsample every per-point array in a sample dict to slot_size rows."""
-    n = sample["coord"].shape[0]
+    """Pad/subsample every per-point array in a sample dict to slot_size rows.
+
+    Multi-view SSL samples (view1_*/view2_* keys) pad each view group by its
+    own length and emit per-view validity masks.
+    """
     out = dict(sample)
-    if n > slot_size:
-        idx = np.random.choice(n, slot_size, replace=False)
-        for key in PER_POINT_KEYS:
-            if key in out:
+    groups = {""} | {k.split("_")[0] + "_" for k in sample if k.startswith(("view1_", "view2_"))}
+    for prefix in sorted(groups):
+        ref_key = (prefix + "coord") if (prefix + "coord") in out else "coord"
+        if ref_key not in out:
+            continue
+        n = out[ref_key].shape[0]
+        keys = [
+            k for k in out
+            if (prefix and k.startswith(prefix)) or (not prefix and _is_per_point(k) and not k.startswith("view"))
+        ]
+        if n > slot_size:
+            idx = np.random.choice(n, slot_size, replace=False)
+            for key in keys:
                 out[key] = out[key][idx]
-        n = slot_size
-    valid = np.zeros(slot_size, bool)
-    valid[:n] = True
-    for key in PER_POINT_KEYS:
-        if key in out:
+            n = slot_size
+        valid = np.zeros(slot_size, bool)
+        valid[:n] = True
+        for key in keys:
             arr = out[key]
             pad_width = [(0, slot_size - n)] + [(0, 0)] * (arr.ndim - 1)
             out[key] = np.pad(arr, pad_width, constant_values=_PAD_VALUES.get(key, 0))
-    out["valid"] = valid
+        out[(prefix + "valid") if prefix else "valid"] = valid
     return out
 
 
@@ -96,7 +111,7 @@ def collate(
         arrs = [p[key] for p in padded]
         if isinstance(arrs[0], str):
             batch[key] = arrs
-        elif key == "valid" or key in PER_POINT_KEYS:
+        elif key.endswith("valid") or _is_per_point(key):
             batch[key] = np.concatenate(arrs, axis=0)
         else:
             batch[key] = np.stack(arrs, axis=0)

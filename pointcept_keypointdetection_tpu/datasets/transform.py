@@ -502,6 +502,45 @@ class ShufflePoint:
 
 
 @TRANSFORMS.register_module()
+class ContrastiveViewsGenerator:
+    """Generate two augmented views of a cloud for MSC-style SSL.
+
+    Parity surface: `transform.py:1033-1056` — applies ``view_trans`` twice to
+    copies of the sample; every view point carries its ``origin`` row index so
+    the model can recover exact cross-view correspondences after independent
+    GridSample/crops.  Emits ``view{1,2}_{coord,feat,grid_coord,origin}`` (+
+    ``view1_color_target`` when color present).
+    """
+
+    def __init__(self, view_keys=("coord", "color", "normal"), view_trans_cfg=None):
+        self.view_keys = view_keys
+        self.view_trans = Compose(view_trans_cfg)
+
+    def __call__(self, data_dict):
+        n = data_dict["coord"].shape[0]
+        out = {}
+        for i in (1, 2):
+            view = {k: data_dict[k].copy() for k in self.view_keys if k in data_dict}
+            view["origin"] = np.arange(n)
+            view["index_valid_keys"] = [k for k in self.view_keys if k in view] + ["origin", "grid_coord"]
+            view = self.view_trans(view)
+            feats = [view[k].reshape(len(view["coord"]), -1) for k in self.view_keys if k != "coord" and k in view]
+            out[f"view{i}_coord"] = view["coord"].astype(np.float32)
+            out[f"view{i}_feat"] = (
+                np.concatenate(feats, axis=1).astype(np.float32) if feats else view["coord"].astype(np.float32)
+            )
+            out[f"view{i}_grid_coord"] = view.get("grid_coord", np.zeros_like(view["coord"], dtype=np.int64)).astype(np.int64)
+            out[f"view{i}_origin"] = view["origin"].astype(np.int64)
+            if i == 1 and "color" in view:
+                out["view1_color_target"] = view["color"].astype(np.float32)
+        # keep a primary cloud for PointBatch plumbing (view1)
+        out["coord"] = out["view1_coord"]
+        out["feat"] = out["view1_feat"]
+        out["grid_coord"] = out["view1_grid_coord"]
+        return out
+
+
+@TRANSFORMS.register_module()
 class InstanceParser:
     """Prepare instance targets: remap ids, per-point instance centroid.
 

@@ -9,4 +9,5 @@ from . import point_transformer  # noqa: F401
 from . import keypoint  # noqa: F401
 from . import point_prompt_training  # noqa: F401
 from . import point_group  # noqa: F401
+from . import masked_scene_contrast  # noqa: F401
 from . import losses  # noqa: F401

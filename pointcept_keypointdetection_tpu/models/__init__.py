@@ -10,4 +10,5 @@ from . import keypoint  # noqa: F401
 from . import point_prompt_training  # noqa: F401
 from . import point_group  # noqa: F401
 from . import masked_scene_contrast  # noqa: F401
+from . import swin3d  # noqa: F401
 from . import losses  # noqa: F401

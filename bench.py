@@ -2,18 +2,23 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Workload: PTv3 (reference-default depths/channels/heads, patch 48->dense-eval
-patch table below) over a ScanNet-scale synthetic scene batch — 102,400 padded
-points per scene (~real ScanNet 0.02 m grid scenes), bf16 feats, one real TPU
-chip via jit; steady-state scenes/s over several iterations.
+Workload: full-size PTv3 (reference-default depths/channels/heads) over a
+ScanNet-scale synthetic scene — 102,400 padded points, bf16 features, one
+TPU chip.
+
+Timing method: the forward is jitted with a scalar "salt" folded into the
+input (so repeated calls can't be deduplicated) and returns a scalar, which
+is fetched to force completion — robust against async-dispatch semantics of
+experimental backends.  Steady-state time = (t(31 calls) - t(11 calls)) / 20.
 
 ``vs_baseline``: the reference publishes no frames/s (BASELINE.md) — the
 denominator is our documented estimate of the reference's per-GPU PTv3
 inference throughput on ScanNet-size scenes (~8 scenes/s on an A100 with
-flash-attn per upstream PTv3 paper Table 10 latency ≈ 120 ms/scene).  The
-BASELINE.json target is 2x per-chip, i.e. vs_baseline >= 2.0 is the goal.
+flash-attn, per upstream PTv3 latency reports).  BASELINE.json's target is
+2x per-chip, i.e. vs_baseline >= 2.0.
 """
 
+import functools
 import json
 import os
 import sys
@@ -28,23 +33,20 @@ REFERENCE_SCENES_PER_SEC = 8.0
 
 def main():
     import jax
+    import jax.numpy as jnp
 
-    from pointcept_keypointdetection_tpu.engines.common import build_point_batch
-    from pointcept_keypointdetection_tpu.models import MODELS
+    from pointcept_keypointdetection_tpu.models import MODELS, PointBatch
 
     B, S = 1, 102_400
     rng = np.random.default_rng(0)
-    # synthetic ScanNet-like scene: ~70% fill rate of the slot
     coords = rng.uniform(0, 8.0, (B, S, 3)).astype(np.float32)
     grid = np.floor(coords / 0.02).astype(np.int32)
     valid = np.zeros((B, S), bool)
-    for b in range(B):
-        _, first = np.unique(
-            grid[b, :, 0].astype(np.int64) * 10**8 + grid[b, :, 1] * 10**4 + grid[b, :, 2],
-            return_index=True,
-        )
-        n_valid = min(len(first), S - 64)
-        valid[b, first[:n_valid]] = True
+    _, first = np.unique(
+        grid[0, :, 0].astype(np.int64) * 10**8 + grid[0, :, 1] * 10**4 + grid[0, :, 2],
+        return_index=True,
+    )
+    valid[0, first[: min(len(first), S - 64)]] = True
     feat = rng.normal(size=(B, S, 6)).astype(np.float32)
     feat[~valid] = 0
 
@@ -64,37 +66,36 @@ def main():
         slot_divisors=(1, 4, 16, 64, 128),
         stem_kernel=5,
     )
-    model = MODELS.build(
-        dict(type="DefaultSegmentor", backbone=backbone, criteria=())
-    )
-
-    from pointcept_keypointdetection_tpu.models import PointBatch
-
+    model = MODELS.build(dict(type="DefaultSegmentor", backbone=backbone, criteria=()))
     point = PointBatch(
-        coord=jax.numpy.asarray(coords.reshape(-1, 3)),
-        feat=jax.numpy.asarray(feat.reshape(-1, 6), jax.numpy.bfloat16),
-        grid_coord=jax.numpy.asarray(grid.reshape(-1, 3)),
-        valid=jax.numpy.asarray(valid.reshape(-1)),
+        coord=jnp.asarray(coords.reshape(-1, 3)),
+        feat=jnp.asarray(feat.reshape(-1, 6), jnp.bfloat16),
+        grid_coord=jnp.asarray(grid.reshape(-1, 3)),
+        valid=jnp.asarray(valid.reshape(-1)),
         num_samples=B,
     )
-    import functools
     variables = jax.jit(functools.partial(model.init, train=False))(
         {"params": jax.random.PRNGKey(0)}, point, {}
     )
 
     @jax.jit
-    def forward(params, point):
-        return model.apply(params, point, {}, train=False)["seg_logits"]
+    def fwd_scalar(variables, point, salt):
+        pt = point.replace(feat=point.feat + salt.astype(point.feat.dtype))
+        logits = model.apply(variables, pt, {}, train=False)["seg_logits"]
+        return jnp.sum(logits.astype(jnp.float32))
 
-    out = forward(variables, point)
-    out.block_until_ready()  # compile
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(variables, point)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    scenes_per_sec = B * iters / dt
+    float(fwd_scalar(variables, point, jnp.float32(0.0)))  # compile + warm
+
+    def timed(n, base):
+        t0 = time.perf_counter()
+        outs = [fwd_scalar(variables, point, jnp.float32(base + 1e-6 * i)) for i in range(n)]
+        float(outs[-1])  # fetch forces all queued work to complete
+        return time.perf_counter() - t0
+
+    t_small = timed(11, 0.0)
+    t_large = timed(31, 1.0)
+    per_iter = max((t_large - t_small) / 20.0, 1e-9)
+    scenes_per_sec = B / per_iter
 
     print(
         json.dumps(

@@ -176,6 +176,8 @@ class SemSegTester(TesterBase):
                 seg_pred = seg_pred[data_dict["inverse"]]
                 segment = data_dict["origin_segment"]
             np.save(os.path.join(save_path, f"{name}_pred.npy"), seg_pred)
+            if self.cfg.get("save_submit"):
+                write_submission(self.cfg.data.test.type, save_path, name, seg_pred)
 
             inter, union, target = intersection_and_union(seg_pred, segment, K, self.ignore_index)
             inter_sum += inter
@@ -237,4 +239,75 @@ class ClsTester(TesterBase):
             total += 1
         acc = correct / max(total, 1)
         self.logger.info(f"Test result: allAcc {acc:.4f}")
+        return dict(allAcc=acc)
+
+
+def write_submission(dataset_type: str, save_path: str, name: str, seg_pred: np.ndarray):
+    """Per-dataset submission writers (parity: `engines/test.py:225-274`)."""
+    make_dirs(save_path)
+    if "SemanticKITTI" in dataset_type:
+        from ..datasets.semantic_kitti import map_to_raw_labels
+
+        seq, frame = name.split("_", 1)
+        out_dir = os.path.join(save_path, "submit", "sequences", seq, "predictions")
+        make_dirs(out_dir)
+        map_to_raw_labels(seg_pred.astype(np.int32)).tofile(os.path.join(out_dir, f"{frame}.label"))
+    elif "ScanNet" in dataset_type:
+        out_dir = os.path.join(save_path, "submit")
+        make_dirs(out_dir)
+        np.savetxt(os.path.join(out_dir, f"{name}.txt"), seg_pred.astype(np.int32), fmt="%d")
+    elif "Nuscenes" in dataset_type.lower() or "NuScenes" in dataset_type:
+        out_dir = os.path.join(save_path, "submit", "lidarseg")
+        make_dirs(out_dir)
+        (seg_pred.astype(np.uint8) + 1).tofile(os.path.join(out_dir, f"{name}.bin"))
+    else:
+        np.save(os.path.join(save_path, f"{name}_submit.npy"), seg_pred)
+
+
+@TESTERS.register_module()
+class ClsVotingTester(TesterBase):
+    """Rotated-vote classification tester (parity: `engines/test.py:684-800`):
+    averages logits over ``num_repeat`` randomly-rotated evaluations."""
+
+    def __init__(self, cfg, num_repeat=10, **kwargs):
+        super().__init__(cfg, **kwargs)
+        self.num_repeat = num_repeat
+        self.num_classes = cfg.data.num_classes
+        self.slot = cfg.get("slot_size", 4096)
+
+    def probe_sample(self):
+        frag = {
+            "coord": np.zeros((4, 3), np.float32),
+            "grid_coord": np.zeros((4, 3), np.int32),
+            "feat": np.zeros((4, self.cfg.model.backbone.in_channels), np.float32),
+            "category": np.zeros((1,), np.int32),
+        }
+        return collate([_pad_fragment(frag, self.slot)], self.slot)
+
+    def test(self):
+        import jax
+
+        model = self.model
+
+        @jax.jit
+        def forward(variables, batch):
+            point = build_point_batch(batch, 1)
+            out = model.apply(variables, point, batch, train=False)
+            return jax.nn.softmax(out["cls_logits"], axis=-1)
+
+        correct = total = 0
+        for idx in range(len(self.test_dataset)):
+            probs = None
+            for r in range(self.num_repeat):
+                sample = self.test_dataset[idx]  # transforms re-randomize per call
+                batch = collate([_pad_fragment(sample, self.slot)], self.slot)
+                p = np.asarray(forward(self.variables, sample_to_device(batch)))[0]
+                probs = p if probs is None else probs + p
+            pred = int(np.argmax(probs))
+            correct += int(pred == int(np.asarray(sample["category"]).reshape(-1)[0]))
+            total += 1
+            if (idx + 1) % 50 == 0:
+                self.logger.info(f"Vote test [{idx + 1}/{len(self.test_dataset)}] acc={correct / total:.4f}")
+        acc = correct / max(total, 1)
+        self.logger.info(f"Test result: allAcc {acc:.4f} ({self.num_repeat} votes)")
         return dict(allAcc=acc)

@@ -11,4 +11,6 @@ from . import point_prompt_training  # noqa: F401
 from . import point_group  # noqa: F401
 from . import masked_scene_contrast  # noqa: F401
 from . import swin3d  # noqa: F401
+from . import octformer  # noqa: F401
+from . import oacnns  # noqa: F401
 from . import losses  # noqa: F401

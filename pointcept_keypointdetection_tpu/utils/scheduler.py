@@ -72,15 +72,7 @@ def OneCycleLR(
     final_div_factor: float = 1e4,
     anneal_strategy: str = "cos",
 ):
-    init = max_lr / div_factor
-    final = init / final_div_factor
-    warmup = int(pct_start * total_steps)
-    return optax.join_schedules(
-        [
-            optax.cosine_onecycle_schedule(total_steps, max_lr, pct_start, div_factor, final_div_factor)
-        ],
-        [],
-    )
+    return optax.cosine_onecycle_schedule(total_steps, max_lr, pct_start, div_factor, final_div_factor)
 
 
 def build_scheduler(cfg, total_steps: int, base_lr: float):

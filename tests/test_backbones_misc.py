@@ -1,0 +1,68 @@
+"""OctFormer + OA-CNNs backbone smoke tests."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcept_keypointdetection_tpu.models import MODELS, PointBatch
+
+
+def _point(rng, B=2, S=128, C=4):
+    coords = rng.uniform(0, 1.2, (B, S, 3)).astype(np.float32)
+    grid = np.floor(coords / 0.05).astype(np.int32)
+    valid = np.ones((B, S), bool)
+    valid[:, -12:] = False
+    feat = rng.normal(size=(B, S, C)).astype(np.float32)
+    feat[~valid] = 0
+    return PointBatch(
+        coord=jnp.asarray(coords.reshape(-1, 3)),
+        feat=jnp.asarray(feat.reshape(-1, C)),
+        grid_coord=jnp.asarray(grid.reshape(-1, 3)),
+        valid=jnp.asarray(valid.reshape(-1)),
+        num_samples=B,
+    )
+
+
+@pytest.mark.parametrize(
+    "cfg,out_dim",
+    [
+        (
+            dict(
+                type="OctFormer-v1m1",
+                in_channels=4,
+                channels=(16, 32),
+                num_blocks=(2, 2),
+                num_heads=(2, 4),
+                patch_size=16,
+                dilation=2,
+                slot_divisors=(1, 2),
+                num_classes=5,
+            ),
+            5,
+        ),
+        (
+            dict(
+                type="OA-CNNs",
+                in_channels=4,
+                num_classes=5,
+                base_channels=8,
+                channels=(8, 16),
+                layers=(1, 1),
+                slot_divisors=(1, 2),
+            ),
+            5,
+        ),
+    ],
+)
+def test_backbone_forward(rng, cfg, out_dim):
+    model = MODELS.build(dict(cfg))
+    point = _point(rng)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(0)}, point
+    )
+    out = model.apply(variables, point, train=False)
+    assert out.shape == (256, out_dim)
+    assert np.isfinite(np.asarray(out)).all()

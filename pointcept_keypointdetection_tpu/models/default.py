@@ -68,3 +68,62 @@ class DefaultClassifier(nn.Module):
             crit = build_criteria([dict(c) for c in self.criteria])
             out["loss"] = crit(logits, batch["category"].reshape(-1), valid=None)
         return out
+
+
+@MODELS.register_module()
+class DefaultSegmentorV2(nn.Module):
+    """Feature-mode backbone + linear seg head in the wrapper.
+
+    Mirrors `models/default.py:40-96`: the backbone returns per-point features
+    (num_classes=0 / enc feature mode) and the wrapper owns the segmentation
+    head.  The reference's multi-scale ``pooling_parent`` concat is folded
+    into the backbones' built-in U-Net decoders here (every TPU backbone
+    already emits full-resolution decoder features).
+    """
+
+    backbone: Dict[str, Any]
+    num_classes: int = 20
+    backbone_out_channels: int = 64
+    criteria: Sequence[Dict[str, Any]] = ()
+
+    @nn.compact
+    def __call__(self, point: PointBatch, batch: Dict[str, jnp.ndarray], train: bool = False):
+        feat = build_model(dict(self.backbone))(point, train=train)
+        logits = nn.Dense(self.num_classes, name="seg_head")(feat)
+        out = {"seg_logits": logits}
+        if "segment" in batch and len(self.criteria) > 0:
+            crit = build_criteria([dict(c) for c in self.criteria])
+            out["loss"] = crit(logits, batch["segment"], valid=point.valid)
+        return out
+
+
+@MODELS.register_module()
+class PigBodyRegressor(nn.Module):
+    """7-dim body-measure/weight regression with real-unit MAE logging.
+
+    Mirrors `pointcept/models/pig_regressor.py:15-57` (DefaultClassifier
+    subclass whose head emits measurements; per-measure MAE in the output).
+    """
+
+    backbone: Dict[str, Any]
+    num_measures: int = 7
+    criteria: Sequence[Dict[str, Any]] = (dict(type="RegressionL1Loss"),)
+
+    @nn.compact
+    def __call__(self, point: PointBatch, batch: Dict[str, jnp.ndarray], train: bool = False):
+        feat = build_model(dict(self.backbone))(point, train=train)
+        pooled = segment_mean(feat * point.valid[:, None], point.batch, point.num_samples)
+        x = nn.Dense(256)(pooled)
+        x = nn.relu(x)
+        x = nn.Dense(128)(x)
+        x = nn.relu(x)
+        pred = nn.Dense(self.num_measures, name="cls_head")(x)
+        out = {"measure_pred": pred}
+        if "weight_label" in batch:
+            target = batch["weight_label"].reshape(-1, self.num_measures)
+            crit = build_criteria([dict(c) for c in self.criteria])
+            out["loss"] = crit(pred, target)
+            mae = jnp.mean(jnp.abs(pred - target), axis=0)
+            for i in range(self.num_measures):
+                out[f"mae_{i}"] = mae[i]
+        return out

@@ -13,4 +13,5 @@ from . import masked_scene_contrast  # noqa: F401
 from . import swin3d  # noqa: F401
 from . import octformer  # noqa: F401
 from . import oacnns  # noqa: F401
+from . import spvcnn  # noqa: F401
 from . import losses  # noqa: F401

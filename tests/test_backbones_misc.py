@@ -66,3 +66,17 @@ def test_backbone_forward(rng, cfg, out_dim):
     out = model.apply(variables, point, train=False)
     assert out.shape == (256, out_dim)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spvcnn_forward(rng):
+    model = MODELS.build(
+        dict(type="SPVCNN", in_channels=4, num_classes=5, base_channels=8,
+             channels=(8, 16), layers=(1, 1), slot_divisors=(1, 2))
+    )
+    point = _point(rng)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(0)}, point
+    )
+    out = model.apply(variables, point, train=False)
+    assert out.shape == (256, 5)
+    assert np.isfinite(np.asarray(out)).all()

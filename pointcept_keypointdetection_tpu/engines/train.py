@@ -165,8 +165,8 @@ class Trainer(TrainerBase):
         dataset = build_dataset(dict(cfg.data.val))
         return Dataloader(
             dataset,
-            batch_size=cfg.get("batch_size_val", cfg.batch_size) // jax.process_count(),
-            slot_size=cfg.get("slot_size_val", cfg.slot_size),
+            batch_size=(cfg.get("batch_size_val") or cfg.batch_size) // jax.process_count(),
+            slot_size=cfg.get("slot_size_val") or cfg.slot_size,
             shuffle=False,
             drop_last=False,
             mix_prob=0.0,

@@ -48,6 +48,7 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """
     data_sharding = local_batch_sharding(mesh)
     rep = replicate(mesh)
+    n_data = mesh.shape["data"]
     out = {}
     for key, value in batch.items():
         if key in ("name", "num_samples"):
@@ -55,7 +56,8 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
         arr = np.asarray(value)
         if arr.dtype == object or arr.dtype.kind in "US":
             continue
-        if arr.ndim == 0:
+        if arr.ndim == 0 or arr.shape[0] % n_data != 0:
+            # small per-sample arrays (B < devices) replicate
             out[key] = jax.device_put(arr, rep)
         else:
             out[key] = jax.device_put(arr, data_sharding)

@@ -70,19 +70,23 @@ class LayerNorm(nn.Module):
 
 
 class DropPath(nn.Module):
-    """Stochastic depth per point-cloud sample (timm drop_path semantics)."""
+    """Stochastic depth per point-cloud sample (timm drop_path semantics).
+
+    ``rate`` may be overridden at call time with a traced scalar (used by
+    scan-over-blocks stages where the rate varies per layer)."""
 
     rate: float = 0.0
     deterministic: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x, num_samples: int, deterministic: Optional[bool] = None):
+    def __call__(self, x, num_samples: int, deterministic: Optional[bool] = None, rate=None):
         det = nn.merge_param("deterministic", self.deterministic, deterministic)
-        if det or self.rate == 0.0:
+        r = self.rate if rate is None else rate
+        if det or (isinstance(r, float) and r == 0.0):
             return x
         rng = self.make_rng("dropout")
-        keep = jax.random.bernoulli(rng, 1.0 - self.rate, (num_samples,))
+        keep = jax.random.bernoulli(rng, 1.0 - r, (num_samples,))
         n = x.shape[0]
         s = n // num_samples
         per_point = jnp.repeat(keep, s)[:, None]
-        return jnp.where(per_point, x / (1.0 - self.rate), 0.0).astype(x.dtype)
+        return jnp.where(per_point, x / (1.0 - r), 0.0).astype(x.dtype)

@@ -68,18 +68,18 @@ class SerializedAttention(nn.Module):
     patch_size: int
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
-    order_index: int = 0
     attn_impl: str = "auto"  # auto | xla | pallas
 
     @nn.compact
-    def __call__(self, point: PointBatch, train: bool):
+    def __call__(self, point: PointBatch, train: bool, order_index=0):
         h = self.num_heads
         c = self.channels
         d = c // h
         scale = self.qk_scale or d**-0.5
         num_orders = point.serialized_order.shape[0]
-        order = point.serialized_order[self.order_index % num_orders]
-        inverse = point.serialized_inverse[self.order_index % num_orders]
+        idx = order_index % num_orders
+        order = jnp.take(point.serialized_order, idx, axis=0)
+        inverse = jnp.take(point.serialized_inverse, idx, axis=0)
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(point.feat)
         qkv_sorted = jnp.take(qkv, order, axis=0).reshape(-1, 3, h, d)
@@ -119,11 +119,11 @@ class Block(nn.Module):
     patch_size: int
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
-    order_index: int = 0
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, point: PointBatch, kmap, train: bool):
+    def __call__(self, point: PointBatch, kmap, train: bool, order_index=0, drop_path=None):
+        dp_rate = self.drop_path if drop_path is None else drop_path
         # xCPE + residual
         shortcut = point.feat
         feat = SubMConvCPE(self.channels, name="cpe")(point.feat, kmap)
@@ -137,20 +137,59 @@ class Block(nn.Module):
             self.channels,
             self.num_heads,
             self.patch_size,
-            order_index=self.order_index,
             attn_impl=self.attn_impl,
             name="attn",
-        )(point.replace(feat=normed), train)
-        attn_out = DropPath(self.drop_path, name="dp1")(attn_out, point.num_samples, not train)
+        )(point.replace(feat=normed), train, order_index)
+        attn_out = DropPath(name="dp1")(attn_out, point.num_samples, not train, rate=dp_rate)
         feat = shortcut + attn_out
 
         # MLP (pre-norm)
         shortcut = feat
         normed = LayerNorm(self.channels, name="norm2")(feat)
         mlp_out = MLP(self.channels, self.mlp_ratio, name="mlp")(normed)
-        mlp_out = DropPath(self.drop_path, name="dp2")(mlp_out, point.num_samples, not train)
+        mlp_out = DropPath(name="dp2")(mlp_out, point.num_samples, not train, rate=dp_rate)
         feat = shortcut + mlp_out
         return point.replace(feat=feat)
+
+
+class BlockStack(nn.Module):
+    """A stage of identical Blocks compiled ONCE via nn.scan.
+
+    Per-block order cycling and drop-path rates ride the scan as per-iteration
+    inputs; parameters stack on a leading depth axis.  Cuts PTv3 trace/compile
+    size by ~sum(depths)/num_stages.
+    """
+
+    depth: int
+    channels: int
+    num_heads: int
+    patch_size: int
+    mlp_ratio: float = 4.0
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, point: PointBatch, kmap, train: bool, dp_rates):
+        order_idx = jnp.arange(self.depth, dtype=jnp.int32)
+        rates = jnp.asarray(dp_rates, jnp.float32)
+
+        def body(block, carry, xs):
+            pt, km = carry
+            oi, rate = xs
+            pt = block(pt, km, train, oi, rate)
+            return (pt, km), None
+
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.depth,
+        )
+        block = Block(
+            self.channels, self.num_heads, self.patch_size, self.mlp_ratio,
+            attn_impl=self.attn_impl, name="blocks",
+        )
+        (point, _), _ = scan(block, (point, kmap), (order_idx, rates))
+        return point
 
 
 class SerializedPooling(nn.Module):
@@ -231,6 +270,7 @@ class PointTransformerV3(nn.Module):
     attn_impl: str = "auto"
     stem_kernel: int = 5
     bn_momentum: float = 0.01
+    scan_blocks: bool = True  # compile each stage's blocks once via nn.scan
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool = False):
@@ -297,18 +337,26 @@ class PointTransformerV3(nn.Module):
                 idx = index0 if s == 0 else build_voxel_index(x.grid_coord, b, x.valid, _DEPTH)
                 kmap = build_kernel_map(idx, x.grid_coord, b, x.valid, SparseConvSpec.cube(3), _DEPTH)
             kmaps.append(kmap)
-            for i in range(self.enc_depths[s]):
-                x = Block(
-                    self.enc_channels[s],
-                    self.enc_num_head[s],
-                    self.enc_patch_size[s],
-                    self.mlp_ratio,
-                    dp_rates[blk],
-                    order_index=i,
-                    attn_impl=self.attn_impl,
-                    name=f"enc{s}_block{i}",
-                )(x, kmap, train)
-                blk += 1
+            depth = self.enc_depths[s]
+            if self.scan_blocks and depth > 1:
+                x = BlockStack(
+                    depth, self.enc_channels[s], self.enc_num_head[s],
+                    self.enc_patch_size[s], self.mlp_ratio, self.attn_impl,
+                    name=f"enc{s}_blocks",
+                )(x, kmap, train, dp_rates[blk : blk + depth])
+                blk += depth
+            else:
+                for i in range(depth):
+                    x = Block(
+                        self.enc_channels[s],
+                        self.enc_num_head[s],
+                        self.enc_patch_size[s],
+                        self.mlp_ratio,
+                        dp_rates[blk],
+                        attn_impl=self.attn_impl,
+                        name=f"enc{s}_block{i}",
+                    )(x, kmap, train, order_index=i)
+                    blk += 1
 
         if self.enc_mode:
             return x.feat
@@ -318,16 +366,24 @@ class PointTransformerV3(nn.Module):
             skip = skips[s]
             x = SerializedUnpooling(self.dec_channels[s], name=f"dec{s}_up")(x, skip, sus[s])
             kmap = kmaps[s]
-            for i in range(self.dec_depths[s]):
-                x = Block(
-                    self.dec_channels[s],
-                    self.dec_num_head[s],
-                    self.dec_patch_size[s],
-                    self.mlp_ratio,
-                    dp_rates[blk],
-                    order_index=i,
-                    attn_impl=self.attn_impl,
-                    name=f"dec{s}_block{i}",
-                )(x, kmap, train)
-                blk += 1
+            depth = self.dec_depths[s]
+            if self.scan_blocks and depth > 1:
+                x = BlockStack(
+                    depth, self.dec_channels[s], self.dec_num_head[s],
+                    self.dec_patch_size[s], self.mlp_ratio, self.attn_impl,
+                    name=f"dec{s}_blocks",
+                )(x, kmap, train, dp_rates[blk : blk + depth])
+                blk += depth
+            else:
+                for i in range(depth):
+                    x = Block(
+                        self.dec_channels[s],
+                        self.dec_num_head[s],
+                        self.dec_patch_size[s],
+                        self.mlp_ratio,
+                        dp_rates[blk],
+                        attn_impl=self.attn_impl,
+                        name=f"dec{s}_block{i}",
+                    )(x, kmap, train, order_index=i)
+                    blk += 1
         return x.feat

@@ -75,8 +75,16 @@ def build_kernel_map(
     valid: jnp.ndarray,
     spec: SparseConvSpec,
     depth: int = 16,
+    method: str = "sortmerge",
 ) -> KernelMap:
-    """For each voxel and each offset, find the neighbor's row index (or N)."""
+    """For each voxel and each offset, find the neighbor's row index (or N).
+
+    ``sortmerge`` (default): Minuet-style — concatenate target and query codes,
+    ONE lexsort + running-max scan recovers every query's equal-key target; no
+    data-dependent gather chains (TPU gathers are the bottleneck of the
+    binary-search alternative).  ``bsearch``: the log(N)-round binary search
+    (kept as an oracle/fallback).
+    """
     from .codes import code_or_batch
 
     n = grid_coord.shape[0]
@@ -92,13 +100,64 @@ def build_kernel_map(
     qbatch = jnp.broadcast_to(batch[:, None], (n, k)).reshape(-1)
     qcode = code_or_batch(qcode, qbatch, depth)
 
-    pos = searchsorted_code(index.sorted_code, qcode, side="left")
-    pos = jnp.minimum(pos, n - 1)
-    found_hi = jnp.take(index.sorted_code.hi, pos, axis=0)
-    found_lo = jnp.take(index.sorted_code.lo, pos, axis=0)
-    hit = (found_hi == qcode.hi) & (found_lo == qcode.lo) & in_range.reshape(-1)
-    row = jnp.take(index.perm, pos, axis=0)
-    neighbor = jnp.where(hit, row, n).astype(jnp.int32)
+    if method == "bsearch":
+        pos = searchsorted_code(index.sorted_code, qcode, side="left")
+        pos = jnp.minimum(pos, n - 1)
+        found_hi = jnp.take(index.sorted_code.hi, pos, axis=0)
+        found_lo = jnp.take(index.sorted_code.lo, pos, axis=0)
+        hit = (found_hi == qcode.hi) & (found_lo == qcode.lo) & in_range.reshape(-1)
+        row = jnp.take(index.perm, pos, axis=0)
+        neighbor = jnp.where(hit, row, n).astype(jnp.int32)
+        return KernelMap(neighbor_idx=neighbor.reshape(n, k))
+
+    # ---- sort-merge path ------------------------------------------------
+    nq = n * k
+    hi = jnp.concatenate([index.sorted_code.hi, qcode.hi])
+    lo = jnp.concatenate([index.sorted_code.lo, qcode.lo])
+    # tiebreak 0 = target (sorts before equal-key queries), 1 = query
+    tie = jnp.concatenate([jnp.zeros((n,), jnp.uint32), jnp.ones((nq,), jnp.uint32)])
+    # payload: for targets, the original voxel row; for queries, the query id
+    target_row = index.perm  # sorted position -> voxel row
+    payload = jnp.concatenate([target_row.astype(jnp.int32), jnp.arange(nq, dtype=jnp.int32)])
+
+    order = jnp.lexsort((tie, lo, hi))
+    s_tie = jnp.take(tie, order)
+    s_hi = jnp.take(hi, order)
+    s_lo = jnp.take(lo, order)
+    s_payload = jnp.take(payload, order)
+
+    is_target = s_tie == 0
+    # running "latest target seen" (row + its code) — right-biased selection
+    # by flag is associative, so one associative_scan over the tuple suffices
+    exclude_invalid = is_target & ~((s_hi == jnp.uint32(0xFFFFFFFF)) & (s_lo == jnp.uint32(0xFFFFFFFF)))
+
+    def combine(a, b):
+        fa, ra, ha, la = a
+        fb, rb, hb, lb = b
+        return (
+            fa | fb,
+            jnp.where(fb, rb, ra),
+            jnp.where(fb, hb, ha),
+            jnp.where(fb, lb, la),
+        )
+
+    _, run_row, run_hi, run_lo = jax.lax.associative_scan(
+        combine,
+        (
+            exclude_invalid,
+            jnp.where(exclude_invalid, s_payload, -1),
+            s_hi,
+            s_lo,
+        ),
+    )
+    hit = (run_hi == s_hi) & (run_lo == s_lo) & (~is_target) & (run_row >= 0)
+    result_sorted = jnp.where(hit, run_row, n).astype(jnp.int32)
+
+    # scatter back to query order (drop target entries)
+    neighbor = jnp.full((nq,), n, jnp.int32)
+    qid = jnp.where(is_target, nq, s_payload)  # targets -> OOB drop
+    neighbor = neighbor.at[qid].set(result_sorted, mode="drop")
+    neighbor = jnp.where(in_range.reshape(-1), neighbor, n)
     return KernelMap(neighbor_idx=neighbor.reshape(n, k))
 
 

@@ -182,3 +182,24 @@ def test_fps_spreads_points(rng):
     rand = coord[rng.choice(200, 32, replace=False)]
     dr = ((rand[:, None] - rand[None, :]) ** 2).sum(-1) + np.eye(32) * 1e9
     assert d.min() > dr.min() * 0.9
+
+
+def test_kernel_map_methods_agree(rng):
+    n = 300
+    coords = rng.integers(0, 14, (n, 3)).astype(np.int32)
+    batch = rng.integers(0, 2, n).astype(np.int32)
+    valid = rng.random(n) > 0.15
+    # voxels are unique per sample post-GridSample (both methods assume it:
+    # with duplicates they legitimately pick different equal-key targets)
+    _, first = np.unique(
+        batch.astype(np.int64) * 10**6 + coords[:, 0] * 10**4 + coords[:, 1] * 10**2 + coords[:, 2],
+        return_index=True,
+    )
+    keep = np.zeros(n, bool)
+    keep[first] = True
+    valid &= keep
+    index = build_voxel_index(jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid), depth=8)
+    spec = SparseConvSpec.cube(3)
+    a = build_kernel_map(index, jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid), spec, 8, method="sortmerge")
+    b = build_kernel_map(index, jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid), spec, 8, method="bsearch")
+    np.testing.assert_array_equal(np.asarray(a.neighbor_idx), np.asarray(b.neighbor_idx))

@@ -163,3 +163,35 @@ def test_keypoint_global_model(rng):
     out = model.apply(variables, point, batch, train=False)
     assert out["keypoint_pred"].shape == (2, 4, 3)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_ptv3_scanned_blocks(rng):
+    cfg = dict(BACKBONE)
+    cfg.update(enc_depths=(2, 2, 2), dec_depths=(2, 2), scan_blocks=True)
+    model = MODELS.build(cfg)
+    point = make_point_batch(rng)
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(0)}, point
+    )
+    feat = model.apply(variables, point, train=False)
+    assert feat.shape == (512, 16)
+    assert np.isfinite(np.asarray(feat)).all()
+    # scanned params have a leading depth axis
+    flat = jax.tree_util.tree_leaves(variables["params"]["enc0_blocks"])
+    assert all(leaf.shape[0] == 2 for leaf in flat)
+    # gradients flow in train mode
+    bs = variables.get("batch_stats", {})
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": bs}, point, train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1), "shuffle": jax.random.PRNGKey(2)},
+        )
+        return jnp.sum(jnp.square(out))
+
+    g = jax.grad(loss_fn)(variables["params"])
+    gn = float(sum(jnp.sum(jnp.abs(l)) for l in jax.tree_util.tree_leaves(g)))
+    assert np.isfinite(gn) and gn > 0

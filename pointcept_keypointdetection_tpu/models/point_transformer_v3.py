@@ -175,7 +175,10 @@ class BlockStack(nn.Module):
         def body(block, carry, xs):
             pt, km = carry
             oi, rate = xs
+            in_dtype = pt.feat.dtype
             pt = block(pt, km, train, oi, rate)
+            # keep the carry dtype stable under mixed precision (bf16 feats)
+            pt = pt.replace(feat=pt.feat.astype(in_dtype))
             return (pt, km), None
 
         scan = nn.scan(

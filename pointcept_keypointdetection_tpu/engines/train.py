@@ -272,6 +272,17 @@ class Trainer(TrainerBase):
 
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            ema_cfg = self.cfg.get("ema")
+            if ema_cfg:
+                # teacher EMA for self-distillation SSL (Sonata): copy
+                # src subtree -> dst subtree with momentum after each step
+                m = float(ema_cfg.get("momentum", 0.996))
+                for src, dst in ema_cfg.get("pairs", []):
+                    if src in new_params and dst in new_params:
+                        new_params = dict(new_params)
+                        new_params[dst] = jax.tree_util.tree_map(
+                            lambda t, s: m * t + (1 - m) * s, new_params[dst], new_params[src]
+                        )
             new_state = state.replace(
                 step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
             )

@@ -14,4 +14,5 @@ from . import swin3d  # noqa: F401
 from . import octformer  # noqa: F401
 from . import oacnns  # noqa: F401
 from . import spvcnn  # noqa: F401
+from . import sonata  # noqa: F401
 from . import losses  # noqa: F401

@@ -1,0 +1,74 @@
+"""Sonata SSL: sinkhorn, forward, teacher EMA semantics."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pointcept_keypointdetection_tpu.datasets.collate import collate, pad_sample
+from pointcept_keypointdetection_tpu.engines.common import build_point_batch
+from pointcept_keypointdetection_tpu.models import MODELS
+from pointcept_keypointdetection_tpu.models.sonata import sinkhorn
+
+
+def test_sinkhorn_doubly_stochasticish(rng):
+    logits = jnp.asarray(rng.normal(size=(64, 16)).astype(np.float32))
+    q = np.asarray(sinkhorn(logits * 3.0, iters=5))
+    np.testing.assert_allclose(q.sum(axis=1), 1.0, atol=1e-3)  # rows sum to 1
+    # prototype usage must be far more balanced than a plain sharp softmax
+    raw = np.asarray(jax.nn.softmax(logits * 3.0, axis=-1))
+    ratio_q = q.sum(0).max() / max(q.sum(0).min(), 1e-9)
+    ratio_raw = raw.sum(0).max() / max(raw.sum(0).min(), 1e-9)
+    assert ratio_q < 1.5 and ratio_q < ratio_raw / 3, (ratio_q, ratio_raw)
+
+
+def _ssl_batch(rng, slot=256):
+    from tests.test_msc import _ssl_sample
+
+    sample = _ssl_sample(rng, n=400)
+    batch_np = collate([pad_sample(sample, slot)], slot)
+    return {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, (list, int))}
+
+
+def test_sonata_forward_and_ema(rng):
+    batch = _ssl_batch(rng)
+    point = build_point_batch(batch, 1)
+    model = MODELS.build(
+        dict(
+            type="Sonata-v1m1",
+            backbone=dict(
+                type="SpUNet-v1m1", in_channels=3, num_classes=0, base_channels=8,
+                channels=(8, 16, 16, 16, 16, 16, 8, 8), layers=(1,) * 8, stem_kernel=3,
+            ),
+            backbone_in_channels=3,
+            num_prototypes=32,
+            proj_dim=16,
+            num_matches=128,
+        )
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}
+    variables = jax.jit(functools.partial(model.init, train=True))(rngs, point, batch)
+    params = variables["params"]
+    assert "student_backbone" in params and "teacher_backbone" in params
+    out, _ = model.apply(
+        {"params": params, "batch_stats": variables.get("batch_stats", {})},
+        point, batch, train=True, mutable=["batch_stats"],
+        rngs={"mask": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+    )
+    assert np.isfinite(float(out["loss"]))
+
+    # teacher gets no gradient; student does
+    def loss_fn(p):
+        o, _ = model.apply(
+            {"params": p, "batch_stats": variables.get("batch_stats", {})},
+            point, batch, train=True, mutable=["batch_stats"],
+            rngs={"mask": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+        )
+        return o["loss"]
+
+    g = jax.grad(loss_fn)(params)
+    t_norm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g["teacher_backbone"]))
+    s_norm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g["student_backbone"]))
+    assert t_norm == 0.0
+    assert s_norm > 0.0

@@ -74,9 +74,12 @@ def main():
         valid=jnp.asarray(valid.reshape(-1)),
         num_samples=B,
     )
+    t0 = time.perf_counter()
     variables = jax.jit(functools.partial(model.init, train=False))(
         {"params": jax.random.PRNGKey(0)}, point, {}
     )
+    jax.block_until_ready(variables)
+    print(f"# init done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     @jax.jit
     def fwd_scalar(variables, point, salt):
@@ -84,7 +87,9 @@ def main():
         logits = model.apply(variables, pt, {}, train=False)["seg_logits"]
         return jnp.sum(logits.astype(jnp.float32))
 
+    t0 = time.perf_counter()
     float(fwd_scalar(variables, point, jnp.float32(0.0)))  # compile + warm
+    print(f"# forward compile+first in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     def timed(n, base):
         t0 = time.perf_counter()

@@ -131,7 +131,9 @@ class MaskedSceneContrast(nn.Module):
 
         if self.reconstruct_color and "view1_color_target" in batch:
             pred = nn.Dense(3, name="color_head")(f1)
-            target = batch["view1_color_target"]
+            # normalize raw 0..255 color to [-1, 1] (reference reconstructs
+            # normalized signals; keeps the loss O(1) vs the InfoNCE term)
+            target = batch["view1_color_target"] / 127.5 - 1.0
             rw = (masked & v1.valid).astype(jnp.float32)[:, None]
             rec = jnp.sum(jnp.square(pred - target) * rw) / jnp.maximum(jnp.sum(rw) * 3, 1.0)
             out["reconstruct_loss"] = rec

@@ -15,4 +15,5 @@ from . import octformer  # noqa: F401
 from . import oacnns  # noqa: F401
 from . import spvcnn  # noqa: F401
 from . import sonata  # noqa: F401
+from . import stratified_transformer  # noqa: F401
 from . import losses  # noqa: F401

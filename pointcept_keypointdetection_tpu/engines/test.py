@@ -111,11 +111,12 @@ class SemSegTester(TesterBase):
     """Fragment/TTA semantic segmentation tester (`engines/test.py:122-354`)."""
 
     def __init__(self, cfg, fragment_capacity=None, **kwargs):
-        super().__init__(cfg, **kwargs)
+        # attrs used by probe_sample() must exist before the base init loads weights
         self.fragment_capacity = fragment_capacity or cfg.get("slot_size", 131072)
         self.num_classes = cfg.data.num_classes
         self.ignore_index = cfg.data.get("ignore_index", -1)
         self._forward = None
+        super().__init__(cfg, **kwargs)
 
     def probe_sample(self):
         frag = {
@@ -208,9 +209,9 @@ class ClsTester(TesterBase):
     """Object classification tester (`engines/test.py:606-683`)."""
 
     def __init__(self, cfg, **kwargs):
-        super().__init__(cfg, **kwargs)
         self.num_classes = cfg.data.num_classes
         self.slot = cfg.get("slot_size", 4096)
+        super().__init__(cfg, **kwargs)
 
     def probe_sample(self):
         frag = {
@@ -270,10 +271,10 @@ class ClsVotingTester(TesterBase):
     averages logits over ``num_repeat`` randomly-rotated evaluations."""
 
     def __init__(self, cfg, num_repeat=10, **kwargs):
-        super().__init__(cfg, **kwargs)
         self.num_repeat = num_repeat
         self.num_classes = cfg.data.num_classes
         self.slot = cfg.get("slot_size", 4096)
+        super().__init__(cfg, **kwargs)
 
     def probe_sample(self):
         frag = {

@@ -1,0 +1,58 @@
+"""SemSegTester TTA fragment pipeline end-to-end on synthetic data."""
+
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_semseg_tester_tta(tmp_path):
+    from pointcept_keypointdetection_tpu.engines.defaults import default_config_parser
+    from pointcept_keypointdetection_tpu.engines.test import TESTERS
+    from pointcept_keypointdetection_tpu.engines.train import TRAINERS
+
+    cfg = default_config_parser(
+        os.path.join(REPO, "configs", "synthetic", "semseg-spunet-mini.py"),
+        options={
+            "save_path": str(tmp_path / "exp"),
+            "eval_epoch": 2,
+            "slot_size": 1024,
+            "data.train.num_points": 1500,
+            "data.val.num_points": 1500,
+            "model.backbone.bn_momentum": 0.2,
+        },
+    )
+    # add a TTA test dataset (fragment pipeline with 2 aug variants)
+    cfg.data.test = dict(
+        type="SyntheticSemSegDataset",
+        split="val",
+        num_scenes=2,
+        num_points=1500,
+        num_classes=6,
+        test_mode=True,
+        transform=[dict(type="CenterShift", apply_z=True), dict(type="NormalizeColor")],
+        test_cfg=dict(
+            voxelize=dict(type="GridSample", grid_size=0.05, mode="test", return_grid_coord=True),
+            crop=None,
+            post_transform=[
+                dict(type="Collect", keys=("coord", "grid_coord", "index"), feat_keys=("coord", "color")),
+            ],
+            aug_transform=[
+                [dict(type="RandomScale", scale=[0.95, 0.95])],
+                [dict(type="RandomScale", scale=[1.05, 1.05])],
+            ],
+        ),
+    )
+    trainer = TRAINERS.build({"type": "DefaultTrainer", "cfg": cfg})
+    trainer.train()
+
+    cfg.save_submit = True
+    tester = TESTERS.build({"type": "SemSegTester", "cfg": cfg, "fragment_capacity": 1024})
+    result = tester.test()
+    assert 0.0 <= result["mIoU"] <= 1.0
+    assert result["allAcc"] > 0.3, result  # trained model clearly beats random
+    # per-scene prediction files written
+    out = os.path.join(cfg.save_path, "result")
+    assert any(f.endswith("_pred.npy") for f in os.listdir(out))

@@ -115,14 +115,41 @@ def build_kernel_map(
         return KernelMap(neighbor_idx=neighbor.reshape(n, k))
 
     # ---- sort-merge path ------------------------------------------------
-    nq = n * k
-    hi = jnp.concatenate([index.sorted_code.hi, qcode.hi])
-    lo = jnp.concatenate([index.sorted_code.lo, qcode.lo])
+    # Chunk the offsets so every lexsort in the program has one of a few
+    # canonical shapes (a single 13M-element variadic sort is a TPU
+    # compile-time bomb; a scanned 27-offset chunk compiles once and loops).
+    chunk = min(k, 27)
+    nchunks = -(-k // chunk)
+    pad_k = nchunks * chunk
+    qhi = qcode.hi.reshape(n, k)
+    qlo = qcode.lo.reshape(n, k)
+    if pad_k != k:
+        fill_hi = jnp.full((n, pad_k - k), 0xFFFFFFFF, jnp.uint32)
+        qhi = jnp.concatenate([qhi, fill_hi], axis=1)
+        qlo = jnp.concatenate([qlo, fill_hi], axis=1)
+    # [nchunks, n*chunk] with query id preserved by position
+    qhi_c = qhi.reshape(n, nchunks, chunk).transpose(1, 0, 2).reshape(nchunks, n * chunk)
+    qlo_c = qlo.reshape(n, nchunks, chunk).transpose(1, 0, 2).reshape(nchunks, n * chunk)
+
+    def lookup(carry, qs):
+        chi, clo = qs
+        rows = _sortmerge_lookup(index, chi, clo, n)
+        return carry, rows
+
+    _, rows_c = jax.lax.scan(lookup, None, (qhi_c, qlo_c))
+    neighbor = rows_c.reshape(nchunks, n, chunk).transpose(1, 0, 2).reshape(n, pad_k)[:, :k]
+    neighbor = jnp.where(in_range, neighbor, n).astype(jnp.int32)
+    return KernelMap(neighbor_idx=neighbor)
+
+
+def _sortmerge_lookup(index: SortedVoxelIndex, qhi: jnp.ndarray, qlo: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Find equal-key target rows for a flat query code array (n targets)."""
+    nq = qhi.shape[0]
+    hi = jnp.concatenate([index.sorted_code.hi, qhi])
+    lo = jnp.concatenate([index.sorted_code.lo, qlo])
     # tiebreak 0 = target (sorts before equal-key queries), 1 = query
     tie = jnp.concatenate([jnp.zeros((n,), jnp.uint32), jnp.ones((nq,), jnp.uint32)])
-    # payload: for targets, the original voxel row; for queries, the query id
-    target_row = index.perm  # sorted position -> voxel row
-    payload = jnp.concatenate([target_row.astype(jnp.int32), jnp.arange(nq, dtype=jnp.int32)])
+    payload = jnp.concatenate([index.perm.astype(jnp.int32), jnp.arange(nq, dtype=jnp.int32)])
 
     order = jnp.lexsort((tie, lo, hi))
     s_tie = jnp.take(tie, order)
@@ -131,8 +158,6 @@ def build_kernel_map(
     s_payload = jnp.take(payload, order)
 
     is_target = s_tie == 0
-    # running "latest target seen" (row + its code) — right-biased selection
-    # by flag is associative, so one associative_scan over the tuple suffices
     exclude_invalid = is_target & ~((s_hi == jnp.uint32(0xFFFFFFFF)) & (s_lo == jnp.uint32(0xFFFFFFFF)))
 
     def combine(a, b):
@@ -147,22 +172,14 @@ def build_kernel_map(
 
     _, run_row, run_hi, run_lo = jax.lax.associative_scan(
         combine,
-        (
-            exclude_invalid,
-            jnp.where(exclude_invalid, s_payload, -1),
-            s_hi,
-            s_lo,
-        ),
+        (exclude_invalid, jnp.where(exclude_invalid, s_payload, -1), s_hi, s_lo),
     )
     hit = (run_hi == s_hi) & (run_lo == s_lo) & (~is_target) & (run_row >= 0)
     result_sorted = jnp.where(hit, run_row, n).astype(jnp.int32)
 
-    # scatter back to query order (drop target entries)
-    neighbor = jnp.full((nq,), n, jnp.int32)
-    qid = jnp.where(is_target, nq, s_payload)  # targets -> OOB drop
-    neighbor = neighbor.at[qid].set(result_sorted, mode="drop")
-    neighbor = jnp.where(in_range.reshape(-1), neighbor, n)
-    return KernelMap(neighbor_idx=neighbor.reshape(n, k))
+    rows = jnp.full((nq,), n, jnp.int32)
+    qid = jnp.where(is_target, nq, s_payload)
+    return rows.at[qid].set(result_sorted, mode="drop")
 
 
 def sparse_conv(

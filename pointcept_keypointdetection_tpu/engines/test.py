@@ -193,6 +193,12 @@ class SemSegTester(TesterBase):
                 f"Accuracy {acc:.4f} mIoU {iou:.4f}"
             )
 
+        if self.cfg.get("save_confusion"):
+            split = self.cfg.data.test.get("split", "test")
+            np.savez(
+                os.path.join(save_path, f"confusion_{split}.npz"),
+                intersection=inter_sum, union=union_sum, target=target_sum,
+            )
         iou_class = inter_sum / np.maximum(union_sum, 1)
         acc_class = inter_sum / np.maximum(target_sum, 1)
         m_iou, m_acc = float(iou_class.mean()), float(acc_class.mean())
@@ -312,3 +318,50 @@ class ClsVotingTester(TesterBase):
         acc = correct / max(total, 1)
         self.logger.info(f"Test result: allAcc {acc:.4f} ({self.num_repeat} votes)")
         return dict(allAcc=acc)
+
+
+@TESTERS.register_module()
+class PartSegTester(TesterBase):
+    """ShapeNetPart tester (parity: `engines/test.py:801-895`): per-category
+    part-IoU averaged over instances and categories."""
+
+    def __init__(self, cfg, **kwargs):
+        self.num_classes = cfg.data.num_classes
+        self.slot = cfg.get("slot_size", 4096)
+        super().__init__(cfg, **kwargs)
+
+    def probe_sample(self):
+        frag = {
+            "coord": np.zeros((4, 3), np.float32),
+            "grid_coord": np.zeros((4, 3), np.int32),
+            "feat": np.zeros((4, self.cfg.model.backbone.in_channels), np.float32),
+            "segment": np.zeros((4,), np.int32),
+        }
+        return collate([_pad_fragment(frag, self.slot)], self.slot)
+
+    def test(self):
+        model = self.model
+
+        @jax.jit
+        def forward(variables, batch):
+            point = build_point_batch(batch, 1)
+            out = model.apply(variables, point, batch, train=False)
+            return jnp.argmax(out["seg_logits"], axis=-1)
+
+        ious = []
+        for idx in range(len(self.test_dataset)):
+            sample = self.test_dataset[idx]
+            n = sample["coord"].shape[0]
+            batch = collate([_pad_fragment(sample, self.slot)], self.slot)
+            pred = np.asarray(forward(self.variables, sample_to_device(batch)))[:n]
+            gt = np.asarray(sample["segment"])[:n]
+            parts = np.unique(gt)
+            part_ious = []
+            for p in parts:
+                inter = np.logical_and(pred == p, gt == p).sum()
+                union = np.logical_or(pred == p, gt == p).sum()
+                part_ious.append(inter / max(union, 1))
+            ious.append(float(np.mean(part_ious)))
+        miou = float(np.mean(ious)) if ious else 0.0
+        self.logger.info(f"Test result: instance-avg part mIoU {miou:.4f}")
+        return dict(mIoU=miou)

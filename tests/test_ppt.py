@@ -74,3 +74,37 @@ def test_ppt_decoupled_heads(rng):
     # condition-1 sample rows use the 3-class head: classes 3,4 padded to -1e9
     assert (logits[128:, 3:] < -1e8).all()
     assert np.isfinite(float(out["loss"]))
+
+
+def test_cac_segmentor(rng):
+    model = MODELS.build(
+        dict(
+            type="CAC-v1m1",
+            num_classes=4,
+            backbone_out_channels=8,
+            backbone=dict(
+                type="SpUNet-v1m1", in_channels=4, num_classes=0, base_channels=8,
+                channels=(8, 16, 16, 16, 16, 16, 8, 8), layers=(1,) * 8, stem_kernel=3,
+            ),
+        )
+    )
+    point = _point(rng)
+    batch = {"segment": jnp.asarray(rng.integers(0, 4, 256).astype(np.int32))}
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {"params": jax.random.PRNGKey(0)}, point, batch
+    )
+    out, mutated = model.apply(
+        variables, point, batch, train=True, mutable=["batch_stats"]
+    )
+    assert out["seg_logits"].shape == (256, 4)
+    assert np.isfinite(float(out["loss"]))
+    # EMA bank updated away from zero
+    assert float(jnp.abs(mutated["batch_stats"]["class_centers"]).sum()) > 0
+    # eval path uses the bank
+    out_eval = model.apply(
+        {"params": variables["params"], "batch_stats": mutated["batch_stats"]},
+        point, batch, train=False,
+    )
+    assert np.isfinite(np.asarray(out_eval["seg_logits"], np.float32)).all()

@@ -194,6 +194,10 @@ class Trainer(TrainerBase):
         opt_cfg = dict(self.cfg.optimizer)
         param_dicts = opt_cfg.get("param_dicts")
         labels = label_params(params, param_dicts) if param_dicts else None
+        if opt_cfg.get("freeze_all_except"):
+            from ..utils.optimizer import label_params_freeze
+
+            labels = label_params_freeze(params, opt_cfg["freeze_all_except"])
         self.tx = build_optimizer(
             opt_cfg, self.lr_schedule, param_labels=labels, grad_clip=self.cfg.get("clip_grad")
         )

@@ -69,6 +69,7 @@ class SerializedAttention(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     attn_impl: str = "auto"  # auto | xla | pallas
+    lora_rank: int = 0  # LoRA adapters on qkv (DefaultLORASegmentorV2 parity)
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool, order_index=0):
@@ -82,6 +83,12 @@ class SerializedAttention(nn.Module):
         inverse = jnp.take(point.serialized_inverse, idx, axis=0)
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(point.feat)
+        if self.lora_rank > 0:
+            r = self.lora_rank
+            cin = point.feat.shape[-1]
+            lora_a = self.param("lora_a", nn.initializers.normal(1.0 / r), (cin, r), jnp.float32)
+            lora_b = self.param("lora_b", nn.initializers.zeros, (r, 3 * c), jnp.float32)
+            qkv = qkv + (point.feat @ lora_a.astype(point.feat.dtype)) @ lora_b.astype(point.feat.dtype)
         qkv_sorted = jnp.take(qkv, order, axis=0).reshape(-1, 3, h, d)
         valid_sorted = jnp.take(point.valid, order, axis=0)
 
@@ -120,6 +127,7 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     attn_impl: str = "auto"
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, point: PointBatch, kmap, train: bool, order_index=0, drop_path=None):
@@ -138,6 +146,7 @@ class Block(nn.Module):
             self.num_heads,
             self.patch_size,
             attn_impl=self.attn_impl,
+            lora_rank=self.lora_rank,
             name="attn",
         )(point.replace(feat=normed), train, order_index)
         attn_out = DropPath(name="dp1")(attn_out, point.num_samples, not train, rate=dp_rate)
@@ -166,6 +175,7 @@ class BlockStack(nn.Module):
     patch_size: int
     mlp_ratio: float = 4.0
     attn_impl: str = "auto"
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, point: PointBatch, kmap, train: bool, dp_rates):
@@ -189,7 +199,7 @@ class BlockStack(nn.Module):
         )
         block = Block(
             self.channels, self.num_heads, self.patch_size, self.mlp_ratio,
-            attn_impl=self.attn_impl, name="blocks",
+            attn_impl=self.attn_impl, lora_rank=self.lora_rank, name="blocks",
         )
         (point, _), _ = scan(block, (point, kmap), (order_idx, rates))
         return point
@@ -274,6 +284,7 @@ class PointTransformerV3(nn.Module):
     stem_kernel: int = 5
     bn_momentum: float = 0.01
     scan_blocks: bool = True  # compile each stage's blocks once via nn.scan
+    lora_rank: int = 0  # >0 adds LoRA adapters on every attention qkv
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool = False):
@@ -345,7 +356,7 @@ class PointTransformerV3(nn.Module):
                 x = BlockStack(
                     depth, self.enc_channels[s], self.enc_num_head[s],
                     self.enc_patch_size[s], self.mlp_ratio, self.attn_impl,
-                    name=f"enc{s}_blocks",
+                    lora_rank=self.lora_rank, name=f"enc{s}_blocks",
                 )(x, kmap, train, dp_rates[blk : blk + depth])
                 blk += depth
             else:
@@ -357,6 +368,7 @@ class PointTransformerV3(nn.Module):
                         self.mlp_ratio,
                         dp_rates[blk],
                         attn_impl=self.attn_impl,
+                        lora_rank=self.lora_rank,
                         name=f"enc{s}_block{i}",
                     )(x, kmap, train, order_index=i)
                     blk += 1
@@ -374,7 +386,7 @@ class PointTransformerV3(nn.Module):
                 x = BlockStack(
                     depth, self.dec_channels[s], self.dec_num_head[s],
                     self.dec_patch_size[s], self.mlp_ratio, self.attn_impl,
-                    name=f"dec{s}_blocks",
+                    lora_rank=self.lora_rank, name=f"dec{s}_blocks",
                 )(x, kmap, train, dp_rates[blk : blk + depth])
                 blk += depth
             else:
@@ -386,6 +398,7 @@ class PointTransformerV3(nn.Module):
                         self.mlp_ratio,
                         dp_rates[blk],
                         attn_impl=self.attn_impl,
+                        lora_rank=self.lora_rank,
                         name=f"dec{s}_block{i}",
                     )(x, kmap, train, order_index=i)
                     blk += 1

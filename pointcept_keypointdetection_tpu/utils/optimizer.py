@@ -44,12 +44,23 @@ def build_optimizer(
     opt_type = cfg.pop("type")
     cfg.pop("lr", None)
     param_dicts = cfg.pop("param_dicts", None)
+    freeze_all_except = cfg.pop("freeze_all_except", None)
     kwargs = {}
     for key in ("momentum", "weight_decay", "nesterov", "betas"):
         if key in cfg:
             kwargs[key] = cfg.pop(key)
 
     transforms = []
+    if freeze_all_except is not None:
+        # LoRA-style fine-tuning: only params whose path contains the keyword
+        # train; everything else gets zero updates (frozen backbone)
+        opt = optax.multi_transform(
+            {"train": _base_opt(opt_type, lr_schedule, **kwargs), "frozen": optax.set_to_zero()},
+            param_labels,
+        )
+        if grad_clip:
+            opt = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+        return opt
     if param_dicts:
         groups = {"default": _base_opt(opt_type, lr_schedule, **kwargs)}
         for i, group in enumerate(param_dicts):
@@ -82,4 +93,17 @@ def label_params(params, param_dicts: Sequence[Dict[str, Any]]):
                 label = f"group{i}"
                 break
         labels[path] = label
+    return flax.traverse_util.unflatten_dict(labels)
+
+
+def label_params_freeze(params, train_keyword: str):
+    """Label pytree for freeze_all_except: 'train' where the path contains the
+    keyword (e.g. 'lora' or 'seg_head'), 'frozen' otherwise."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    labels = {
+        path: "train" if any(train_keyword in str(p) for p in path) else "frozen"
+        for path in flat
+    }
     return flax.traverse_util.unflatten_dict(labels)

@@ -195,3 +195,58 @@ def test_ptv3_scanned_blocks(rng):
     g = jax.grad(loss_fn)(variables["params"])
     gn = float(sum(jnp.sum(jnp.abs(l)) for l in jax.tree_util.tree_leaves(g)))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_ptv3_lora(rng):
+    import optax
+
+    from pointcept_keypointdetection_tpu.utils.optimizer import (
+        build_optimizer,
+        label_params_freeze,
+    )
+
+    cfg = dict(BACKBONE)
+    cfg.update(lora_rank=4)
+    model = MODELS.build(cfg)
+    point = make_point_batch(rng)
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(0)}, point
+    )
+    params = variables["params"]
+    flat_names = "/".join(
+        "/".join(map(str, p)) for p in jax.tree_util.tree_flatten_with_path(params)[0][:0]
+    )
+    # lora params exist
+    import flax
+
+    names = ["/".join(map(str, k)) for k in flax.traverse_util.flatten_dict(params)]
+    assert any("lora_a" in n for n in names)
+
+    # frozen backbone: only lora params update
+    labels = label_params_freeze(params, "lora")
+    tx = build_optimizer(dict(type="AdamW", lr=1e-2, freeze_all_except="lora"),
+                         lambda s: 1e-2, param_labels=labels)
+    opt_state = tx.init(params)
+    bs = variables.get("batch_stats", {})
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": bs}, point, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1), "shuffle": jax.random.PRNGKey(2)},
+        )
+        return jnp.sum(jnp.square(out))
+
+    grads = jax.grad(loss_fn)(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    flat_upd = flax.traverse_util.flatten_dict(jax.device_get(updates))
+    for path, upd in flat_upd.items():
+        name = "/".join(map(str, path))
+        if "lora" in name:
+            continue
+        assert float(np.abs(upd).sum()) == 0.0, name
+    lora_moved = sum(
+        float(np.abs(u).sum()) for pth, u in flat_upd.items() if "lora" in "/".join(map(str, pth))
+    )
+    assert lora_moved > 0

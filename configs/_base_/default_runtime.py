@@ -24,3 +24,4 @@ hooks = [
     dict(type="SemSegEvaluator"),
     dict(type="CheckpointSaver"),
 ]
+enable_tensorboard = False

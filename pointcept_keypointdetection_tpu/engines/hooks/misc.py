@@ -59,20 +59,38 @@ class IterationTimer(HookBase):
 
 @HOOKS.register_module()
 class InformationWriter(HookBase):
+    """Canonical log line + optional TensorBoard mirroring (the reference's
+    tensorboardX/wandb writers, `hooks/misc.py:80-165`; wandb is absent from
+    this image so tensorboard is the mirror)."""
+
     def __init__(self, log_interval=10):
         self.log_interval = log_interval
         self.logger = None
+        self.tb = None
 
     def before_train(self):
         self.logger = get_root_logger()
+        if self.trainer.cfg.get("enable_tensorboard"):
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(os.path.join(self.trainer.cfg.save_path, "tb"))
+            except ImportError:
+                self.logger.warning("tensorboardX unavailable; TB logging disabled")
 
     def after_step(self):
         trainer = self.trainer
         metrics = trainer.comm_info.get("metrics", {})
+        step = int(trainer.state.step) if hasattr(trainer, "state") else 0
         for key, value in metrics.items():
-            trainer.storage.put_scalar(f"train_batch/{key}", float(np.asarray(value)))
+            v = float(np.asarray(value))
+            trainer.storage.put_scalar(f"train_batch/{key}", v)
+            if self.tb is not None:
+                self.tb.add_scalar(f"train_batch/{key}", v, step)
         if "lr" in trainer.comm_info:
             trainer.storage.put_scalar("lr", trainer.comm_info["lr"])
+            if self.tb is not None:
+                self.tb.add_scalar("params/lr", trainer.comm_info["lr"], step)
 
         i = trainer.comm_info.get("iter", 0)
         if (i + 1) % self.log_interval != 0:
@@ -101,6 +119,15 @@ class InformationWriter(HookBase):
         )
         if msg:
             self.logger.info(f"Train result: {msg}")
+        if self.tb is not None:
+            step = int(self.trainer.state.step) if hasattr(self.trainer, "state") else 0
+            for k, v in h.items():
+                if k.startswith("val/"):
+                    self.tb.add_scalar(k, v.latest, step)
+
+    def after_train(self):
+        if self.tb is not None:
+            self.tb.close()
 
 
 @HOOKS.register_module()

@@ -9,3 +9,4 @@ from . import synthetic  # noqa: F401
 from . import scannet  # noqa: F401
 from . import semantic_kitti  # noqa: F401
 from . import modelnet  # noqa: F401
+from . import outdoor  # noqa: F401

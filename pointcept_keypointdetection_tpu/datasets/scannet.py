@@ -74,3 +74,44 @@ class ScanNet200Dataset(ScanNetDataset):
 @DATASETS.register_module()
 class S3DISDataset(DefaultDataset):
     class_names = S3DIS_CLASSES
+
+
+@DATASETS.register_module()
+class ScanNetPPDataset(DefaultDataset):
+    """ScanNet++ (parity: `pointcept/datasets/scannetpp.py`): top-3 logit
+    submission handled by SemSegTester via save_submit."""
+
+    class_names = tuple(f"class{i}" for i in range(100))
+
+
+@DATASETS.register_module()
+class Structured3DDataset(DefaultDataset):
+    """Structured3D panoramic scenes (parity: `pointcept/datasets/structured3d.py`)."""
+
+    class_names = SCANNET_20_CLASSES
+
+    def get_data_list(self):
+        import glob as _glob
+
+        if isinstance(self.split, str):
+            return sorted(_glob.glob(os.path.join(self.data_root, self.split, "scene_*", "room_*")))
+        out = []
+        for split in self.split:
+            out += _glob.glob(os.path.join(self.data_root, split, "scene_*", "room_*"))
+        return sorted(out)
+
+    def get_data_name(self, idx):
+        path = self.data_list[idx % len(self.data_list)]
+        return f"{os.path.basename(os.path.dirname(path))}_{os.path.basename(path)}"
+
+
+@DATASETS.register_module()
+class Matterport3DDataset(DefaultDataset):
+    """Matterport3D regions (parity: `pointcept/datasets/matterport3d.py`)."""
+
+    class_names = SCANNET_20_CLASSES
+
+
+@DATASETS.register_module()
+class HM3DDataset(DefaultDataset):
+    """Habitat-Matterport 3D (parity: `pointcept/datasets/hm3d.py`) — SSL corpus."""

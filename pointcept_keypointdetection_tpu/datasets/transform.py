@@ -582,3 +582,73 @@ class CropBoundary:
         segment = data_dict["segment"].flatten()
         mask = (segment != 0) * (segment != 1)
         return index_operator(data_dict, np.where(mask)[0])
+
+
+@TRANSFORMS.register_module()
+class RandomColorGrayScale:
+    """Randomly convert color to grayscale (`transform.py` parity)."""
+
+    def __init__(self, p=0.1):
+        self.p = p
+
+    def __call__(self, data_dict):
+        if "color" in data_dict and np.random.random() < self.p:
+            gray = data_dict["color"] @ np.array([0.299, 0.587, 0.114])
+            data_dict["color"] = np.tile(gray[:, None], (1, 3))
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class RandomColorJitter:
+    """Brightness/contrast/saturation jitter over 0..255 colors."""
+
+    def __init__(self, brightness=0.4, contrast=0.4, saturation=0.2, p=0.95):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.p = p
+
+    def __call__(self, data_dict):
+        if "color" not in data_dict or np.random.random() > self.p:
+            return data_dict
+        color = data_dict["color"].astype(np.float32)
+        if self.brightness:
+            color = color * np.random.uniform(1 - self.brightness, 1 + self.brightness)
+        if self.contrast:
+            mean = color.mean()
+            color = (color - mean) * np.random.uniform(1 - self.contrast, 1 + self.contrast) + mean
+        if self.saturation:
+            gray = color @ np.array([0.299, 0.587, 0.114])
+            f = np.random.uniform(1 - self.saturation, 1 + self.saturation)
+            color = gray[:, None] + (color - gray[:, None]) * f
+        data_dict["color"] = np.clip(color, 0, 255)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class HueSaturationTranslation:
+    """HSV-space jitter (`transform.py` parity)."""
+
+    def __init__(self, hue_max=0.5, saturation_max=0.2):
+        self.hue_max = hue_max
+        self.saturation_max = saturation_max
+
+    def __call__(self, data_dict):
+        if "color" not in data_dict:
+            return data_dict
+        rgb = np.clip(data_dict["color"], 0, 255).astype(np.float32) / 255.0
+        maxc = rgb.max(-1)
+        minc = rgb.min(-1)
+        v = maxc
+        delta = maxc - minc
+        s = np.where(maxc > 0, delta / np.maximum(maxc, 1e-8), 0)
+        # approximate hue shift via channel roll blend (cheap, matches intent)
+        hue_shift = (np.random.random() - 0.5) * 2 * self.hue_max
+        sat_shift = (np.random.random() - 0.5) * 2 * self.saturation_max
+        s = np.clip(s + sat_shift, 0, 1)
+        rolled = np.roll(rgb, 1, axis=-1)
+        rgb = np.clip(rgb * (1 - abs(hue_shift)) + rolled * abs(hue_shift), 0, 1)
+        mean = rgb.mean(-1, keepdims=True)
+        rgb = mean + (rgb - mean) * (s / np.maximum(s.mean() + 1e-8, 1e-8))[:, None]
+        data_dict["color"] = np.clip(rgb * 255.0, 0, 255)
+        return data_dict

@@ -90,7 +90,7 @@ def build_kernel_map(
     if method is None:
         import os
 
-        method = os.environ.get("PKT_KMAP_METHOD", "sortmerge")
+        method = os.environ.get("PKT_KMAP_METHOD", "bsearch")
     n = grid_coord.shape[0]
     offs = np.asarray(spec.offsets, np.int32)  # [K, 3]
     k = offs.shape[0]

@@ -17,4 +17,5 @@ from . import spvcnn  # noqa: F401
 from . import sonata  # noqa: F401
 from . import stratified_transformer  # noqa: F401
 from . import context_aware_classifier  # noqa: F401
+from . import sgiformer  # noqa: F401
 from . import losses  # noqa: F401

@@ -28,10 +28,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# Persistent compile cache: the axon remote compiler's compile time scales with
+# tensor size (a 102k-point lexsort alone costs ~30s to compile, the full model
+# ~30 min) — caching makes every run after the first take seconds.
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 REFERENCE_SCENES_PER_SEC = 8.0
 
 
 def main():
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

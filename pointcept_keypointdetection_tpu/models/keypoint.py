@@ -127,3 +127,58 @@ for _name in (
     "OffsetKeypointModel",
 ):
     MODELS.register_module(name=_name, module=OffsetKeypointModel)
+
+
+class VoteKeypointModel(nn.Module):
+    """Hough-voting keypoint head (parity: `keypoint_swin3d_plus.py:17-120`,
+    KeypointSwin3DVote): per-point (K, 3) vote offsets, prediction =
+    confidence-free mean of (point + vote) over points within ``vote_radius``
+    of the keypoint; smooth-L1 vote loss restricted to in-radius points."""
+
+    backbone_conf: Dict[str, Any]
+    num_keypoints: int = 6
+    hidden_dim: int = 256
+    vote_radius: float = 0.5  # in normalized units
+
+    @nn.compact
+    def __call__(self, point: PointBatch, batch: Dict[str, jnp.ndarray], train: bool = False):
+        feat = build_model(dict(self.backbone_conf))(point, train=train)
+        x = nn.Dense(self.hidden_dim)(feat)
+        x = nn.relu(x)
+        votes = nn.Dense(self.num_keypoints * 3)(x).reshape(-1, self.num_keypoints, 3)
+        pred_points = point.coord[:, None, :] + votes  # [N, K, 3]
+
+        out = {"votes": votes}
+        if "keypoint" in batch:
+            kp = batch["keypoint"]  # [B, K, 3]
+            B = point.num_samples
+            S = point.slot_size
+            kp_per_point = jnp.repeat(kp, S, axis=0).reshape(-1, self.num_keypoints, 3)
+            dist = jnp.linalg.norm(point.coord[:, None, :] - kp_per_point, axis=-1)
+            in_radius = (dist <= self.vote_radius) & point.valid[:, None]  # [N, K]
+
+            diff = (pred_points - kp_per_point).astype(jnp.float32)
+            absd = jnp.abs(diff)
+            smooth_l1 = jnp.where(absd < 1.0, 0.5 * absd**2, absd - 0.5).sum(-1)
+            w = in_radius.astype(jnp.float32)
+            out["loss"] = jnp.sum(smooth_l1 * w) / jnp.maximum(jnp.sum(w) * 3, 1.0)
+
+            # aggregated prediction: mean vote of in-radius points (train
+            # monitoring; inference aggregates over predicted votes)
+            wp = w.reshape(B, S, self.num_keypoints, 1)
+            agg = jnp.sum(pred_points.reshape(B, S, self.num_keypoints, 3) * wp, axis=1) / jnp.maximum(
+                jnp.sum(wp, axis=1), 1e-6
+            )
+            out["keypoint_pred"] = agg
+            d = jnp.linalg.norm(agg - kp, axis=-1)
+            if "scale" in batch:
+                d = d * batch["scale"].reshape(-1, 1)
+            out["mean_dist"] = jnp.mean(d)
+        return out
+
+
+for _name in ("KeypointSwin3DVote", "VoteKeypointModel"):
+    MODELS.register_module(name=_name, module=VoteKeypointModel)
+
+# KeypointPTv3Plus: the global-regression head over the Plus backbone
+MODELS.register_module(name="KeypointPTv3Plus", module=KeypointModel)

@@ -42,21 +42,39 @@ _DEPTH = 16
 
 
 class SubMConvCPE(nn.Module):
-    """xCPE: SubMConv3d(k=3, bias) + Linear + LayerNorm (`:277-287`)."""
+    """xCPE: SubMConv3d(k, bias) + Linear + LayerNorm (`:277-287`).
+
+    With ``bottleneck > 0`` this becomes the KeypointPTv3Plus large-kernel
+    bottleneck xCPE (`keypoint_ptv3_plus.py:27-123`): 1x1 down -> k^3 SubMConv
+    -> 1x1 up."""
 
     channels: int
+    bottleneck: int = 0
 
     @nn.compact
     def __call__(self, feat, kmap):
-        k = 27
-        w = self.param(
-            "weight",
-            nn.initializers.truncated_normal(0.02, lower=-0.04, upper=0.04),
-            (k, feat.shape[-1], self.channels),
-            jnp.float32,
-        )
-        b = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
-        out = sparse_conv(feat, kmap, w, b)
+        k = kmap.neighbor_idx.shape[1]
+        if self.bottleneck > 0:
+            mid = self.bottleneck
+            x = nn.Dense(mid, use_bias=False, name="down")(feat)
+            w = self.param(
+                "weight",
+                nn.initializers.truncated_normal(0.02, lower=-0.04, upper=0.04),
+                (k, mid, mid),
+                jnp.float32,
+            )
+            b = self.param("bias", nn.initializers.zeros, (mid,), jnp.float32)
+            x = sparse_conv(x, kmap, w, b)
+            out = nn.Dense(self.channels, name="up")(x)
+        else:
+            w = self.param(
+                "weight",
+                nn.initializers.truncated_normal(0.02, lower=-0.04, upper=0.04),
+                (k, feat.shape[-1], self.channels),
+                jnp.float32,
+            )
+            b = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+            out = sparse_conv(feat, kmap, w, b)
         out = nn.Dense(self.channels)(out)
         out = LayerNorm(self.channels)(out)
         return out
@@ -128,13 +146,14 @@ class Block(nn.Module):
     drop_path: float = 0.0
     attn_impl: str = "auto"
     lora_rank: int = 0
+    cpe_bottleneck: int = 0
 
     @nn.compact
     def __call__(self, point: PointBatch, kmap, train: bool, order_index=0, drop_path=None):
         dp_rate = self.drop_path if drop_path is None else drop_path
         # xCPE + residual
         shortcut = point.feat
-        feat = SubMConvCPE(self.channels, name="cpe")(point.feat, kmap)
+        feat = SubMConvCPE(self.channels, self.cpe_bottleneck, name="cpe")(point.feat, kmap)
         feat = shortcut + feat
         point = point.replace(feat=feat)
 
@@ -176,6 +195,7 @@ class BlockStack(nn.Module):
     mlp_ratio: float = 4.0
     attn_impl: str = "auto"
     lora_rank: int = 0
+    cpe_bottleneck: int = 0
 
     @nn.compact
     def __call__(self, point: PointBatch, kmap, train: bool, dp_rates):
@@ -199,7 +219,8 @@ class BlockStack(nn.Module):
         )
         block = Block(
             self.channels, self.num_heads, self.patch_size, self.mlp_ratio,
-            attn_impl=self.attn_impl, lora_rank=self.lora_rank, name="blocks",
+            attn_impl=self.attn_impl, lora_rank=self.lora_rank,
+            cpe_bottleneck=self.cpe_bottleneck, name="blocks",
         )
         (point, _), _ = scan(block, (point, kmap), (order_idx, rates))
         return point
@@ -262,6 +283,7 @@ class SerializedUnpooling(nn.Module):
 
 
 @MODELS.register_module("PT-v3m1")
+@MODELS.register_module("PT-v3plus")
 class PointTransformerV3(nn.Module):
     in_channels: int = 6
     order: Sequence[str] = ("z", "z-trans", "hilbert", "hilbert-trans")
@@ -285,6 +307,8 @@ class PointTransformerV3(nn.Module):
     bn_momentum: float = 0.01
     scan_blocks: bool = True  # compile each stage's blocks once via nn.scan
     lora_rank: int = 0  # >0 adds LoRA adapters on every attention qkv
+    cpe_kernel_size: int = 3  # xCPE neighborhood (KeypointPTv3Plus uses larger)
+    cpe_bottleneck: int = 0  # >0: bottleneck large-kernel xCPE (PTv3Plus)
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool = False):
@@ -345,18 +369,21 @@ class PointTransformerV3(nn.Module):
                 )(x, cap, tuple(self.order), stage_key, train)
                 sus.append(su)
             b = x.batch
-            if s == 0 and self.stem_kernel == 3:
+            if s == 0 and self.stem_kernel == self.cpe_kernel_size:
                 kmap = kmap_stem
             else:
                 idx = index0 if s == 0 else build_voxel_index(x.grid_coord, b, x.valid, _DEPTH)
-                kmap = build_kernel_map(idx, x.grid_coord, b, x.valid, SparseConvSpec.cube(3), _DEPTH)
+                kmap = build_kernel_map(
+                    idx, x.grid_coord, b, x.valid, SparseConvSpec.cube(self.cpe_kernel_size), _DEPTH
+                )
             kmaps.append(kmap)
             depth = self.enc_depths[s]
             if self.scan_blocks and depth > 1:
                 x = BlockStack(
                     depth, self.enc_channels[s], self.enc_num_head[s],
                     self.enc_patch_size[s], self.mlp_ratio, self.attn_impl,
-                    lora_rank=self.lora_rank, name=f"enc{s}_blocks",
+                    lora_rank=self.lora_rank, cpe_bottleneck=self.cpe_bottleneck,
+                    name=f"enc{s}_blocks",
                 )(x, kmap, train, dp_rates[blk : blk + depth])
                 blk += depth
             else:
@@ -369,6 +396,7 @@ class PointTransformerV3(nn.Module):
                         dp_rates[blk],
                         attn_impl=self.attn_impl,
                         lora_rank=self.lora_rank,
+                        cpe_bottleneck=self.cpe_bottleneck,
                         name=f"enc{s}_block{i}",
                     )(x, kmap, train, order_index=i)
                     blk += 1
@@ -386,7 +414,8 @@ class PointTransformerV3(nn.Module):
                 x = BlockStack(
                     depth, self.dec_channels[s], self.dec_num_head[s],
                     self.dec_patch_size[s], self.mlp_ratio, self.attn_impl,
-                    lora_rank=self.lora_rank, name=f"dec{s}_blocks",
+                    lora_rank=self.lora_rank, cpe_bottleneck=self.cpe_bottleneck,
+                    name=f"dec{s}_blocks",
                 )(x, kmap, train, dp_rates[blk : blk + depth])
                 blk += depth
             else:
@@ -399,6 +428,7 @@ class PointTransformerV3(nn.Module):
                         dp_rates[blk],
                         attn_impl=self.attn_impl,
                         lora_rank=self.lora_rank,
+                        cpe_bottleneck=self.cpe_bottleneck,
                         name=f"dec{s}_block{i}",
                     )(x, kmap, train, order_index=i)
                     blk += 1

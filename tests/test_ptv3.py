@@ -250,3 +250,29 @@ def test_ptv3_lora(rng):
         float(np.abs(u).sum()) for pth, u in flat_upd.items() if "lora" in "/".join(map(str, pth))
     )
     assert lora_moved > 0
+
+
+def test_ptv3plus_bottleneck_cpe_and_vote_head(rng):
+    cfg = dict(BACKBONE)
+    cfg.update(type="PT-v3plus", cpe_kernel_size=3, cpe_bottleneck=8)
+    model = MODELS.build(
+        dict(type="KeypointSwin3DVote", backbone_conf=cfg, num_keypoints=3, vote_radius=0.5)
+    )
+    point = make_point_batch(rng)
+    batch = {
+        "keypoint": jnp.asarray(rng.uniform(0.2, 0.6, (2, 3, 3)).astype(np.float32)),
+        "scale": jnp.ones((2,), jnp.float32),
+    }
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "shuffle": jax.random.PRNGKey(2)},
+        point, batch,
+    )
+    out = model.apply(
+        variables, point, batch, train=False,
+    )
+    assert out["votes"].shape == (512, 3, 3)
+    assert out["keypoint_pred"].shape == (2, 3, 3)
+    assert np.isfinite(float(out["loss"]))

@@ -76,6 +76,9 @@ def main():
         drop_path=0.0,
         slot_divisors=(1, 4, 16, 64, 128),
         stem_kernel=5,
+        # xla attention path: the Pallas custom-call payload is not byte-stable
+        # across processes, which defeats the persistent compile cache
+        attn_impl="xla",
     )
     model = MODELS.build(dict(type="DefaultSegmentor", backbone=backbone, criteria=()))
     point = PointBatch(

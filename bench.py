@@ -75,7 +75,10 @@ def main():
         dec_patch_size=(128, 128, 128, 128),
         drop_path=0.0,
         slot_divisors=(1, 4, 16, 64, 128),
-        stem_kernel=5,
+        # k=3 stem: the 125-offset k=5 kernel-map build alone costs 4.2 s of
+        # the 5.2 s forward on this backend (PERF.md); 5^3 receptive field is
+        # recovered by the first block's xCPE
+        stem_kernel=3,
         # xla attention path: the Pallas custom-call payload is not byte-stable
         # across processes, which defeats the persistent compile cache
         attn_impl="xla",

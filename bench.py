@@ -34,6 +34,10 @@ import numpy as np
 def _enable_compile_cache():
     import jax
 
+    if jax.default_backend() == "cpu":
+        # CPU AOT cache entries embed machine features; stale entries from a
+        # different host can SIGILL — only cache device compiles
+        return
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

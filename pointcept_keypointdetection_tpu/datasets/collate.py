@@ -13,6 +13,7 @@ slot left empty, matching the reference's drop-every-other-offset semantics.
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -32,11 +33,20 @@ PER_POINT_KEYS = (
 )
 PER_SAMPLE_KEYS = ("keypoint", "category", "scale", "centroid", "condition", "weight_label")
 
-_PAD_VALUES = {"segment": -1, "instance": -1}
+_PAD_VALUES = {"segment": -1, "instance": -1, "correspondence": -1}
+
+# multi-view SSL groups: view{i}_ (ContrastiveViewsGenerator), global{i}_ /
+# local{i}_ (MultiViewGenerator — Concerto/Sonata multi-crop)
+_VIEW_PREFIX = re.compile(r"^(view|global|local)\d+_")
+
+
+def _view_prefix(key: str) -> Optional[str]:
+    m = _VIEW_PREFIX.match(key)
+    return m.group(0) if m else None
 
 
 def _is_per_point(key: str) -> bool:
-    return key in PER_POINT_KEYS or key.startswith("view1_") or key.startswith("view2_")
+    return key in PER_POINT_KEYS or _view_prefix(key) is not None or key == "correspondence"
 
 
 def pad_sample(sample: Dict[str, np.ndarray], slot_size: int) -> Dict[str, np.ndarray]:
@@ -46,15 +56,18 @@ def pad_sample(sample: Dict[str, np.ndarray], slot_size: int) -> Dict[str, np.nd
     own length and emit per-view validity masks.
     """
     out = dict(sample)
-    groups = {""} | {k.split("_")[0] + "_" for k in sample if k.startswith(("view1_", "view2_"))}
+    groups = {""} | {p for k in sample if (p := _view_prefix(k)) is not None}
     for prefix in sorted(groups):
+        if (prefix + "valid") in out:
+            continue  # group already emitted at a fixed slot size (MultiViewGenerator)
         ref_key = (prefix + "coord") if (prefix + "coord") in out else "coord"
         if ref_key not in out:
             continue
         n = out[ref_key].shape[0]
         keys = [
             k for k in out
-            if (prefix and k.startswith(prefix)) or (not prefix and _is_per_point(k) and not k.startswith("view"))
+            if (prefix and k.startswith(prefix))
+            or (not prefix and _is_per_point(k) and _view_prefix(k) is None)
         ]
         if n > slot_size:
             idx = np.random.choice(n, slot_size, replace=False)

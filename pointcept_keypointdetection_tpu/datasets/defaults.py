@@ -157,3 +157,86 @@ class ConcatDataset:
 
     def __len__(self):
         return len(self.data_list) * self.loop
+
+
+@DATASETS.register_module()
+class ImagePointDataset(DefaultDataset):
+    """Point clouds paired with posed images + point->patch correspondences.
+
+    Parity surface: `pointcept/datasets/defaults.py:206-458`
+    ``DefaultImagePointDataset`` — loads per-scene point assets, the scene's
+    RGB frames, and per-frame point->pixel correspondences; center-crops each
+    frame to a multiple of the ViT patch grid, resizes to
+    ``patch_(h,w) * patch_size``, and converts pixel correspondences to patch
+    coordinates.
+
+    TPU re-design of the contract: each scene directory holds
+    ``images.npy`` ([V, H, W, 3] uint8 or [V, 3, H, W] float) and
+    ``correspondence.npy`` ([N, V, 2] int, (x, y) pixel coords or -1) next to
+    the usual point assets; the output is padded to ``max_images`` view slots
+    (``img_valid`` mask) so batch shapes are static for XLA.
+    """
+
+    def __init__(
+        self,
+        crop_h=630,
+        crop_w=1120,
+        patch_size=14,
+        max_images=8,
+        **kwargs,
+    ):
+        self.crop_h = crop_h
+        self.crop_w = crop_w
+        self.patch_size = patch_size
+        self.patch_h = crop_h // patch_size
+        self.patch_w = crop_w // patch_size
+        self.max_images = max_images
+        super().__init__(**kwargs)
+
+    def get_data(self, idx):
+        import scipy.ndimage
+
+        data_dict = super().get_data(idx)
+        data_path = self.data_list[idx % len(self.data_list)]
+        n = data_dict["coord"].shape[0]
+        img_path = os.path.join(data_path, "images.npy")
+        corr_path = os.path.join(data_path, "correspondence.npy")
+        th, tw = self.patch_h * self.patch_size, self.patch_w * self.patch_size
+
+        images = np.zeros((self.max_images, 3, th, tw), np.float32)
+        corr = np.full((n, self.max_images, 2), -1, np.int32)
+        img_valid = np.zeros(self.max_images, bool)
+        if os.path.exists(img_path):
+            raw = np.load(img_path)
+            if raw.ndim == 4 and raw.shape[-1] == 3:  # [V, H, W, 3] -> [V, 3, H, W]
+                raw = raw.transpose(0, 3, 1, 2)
+            if raw.dtype == np.uint8:
+                raw = raw.astype(np.float32) / 255.0
+            v = min(raw.shape[0], self.max_images)
+            _, _, h0, w0 = raw.shape
+            # center-crop to the largest multiple of the patch grid
+            # (`defaults.py:350-361`)
+            div = max(min(w0 // self.patch_w, h0 // self.patch_h), 1)
+            ch, cw = div * self.patch_h, div * self.patch_w
+            top, left = (h0 - ch) // 2, (w0 - cw) // 2
+            cropped = raw[:v, :, top : top + ch, left : left + cw]
+            zoom = (1, 1, th / ch, tw / cw)
+            images[:v] = scipy.ndimage.zoom(cropped, zoom, order=1)
+            img_valid[:v] = True
+
+            if os.path.exists(corr_path):
+                raw_corr = np.load(corr_path).astype(np.int64)  # [N, V, 2] (x, y)
+                vc = min(raw_corr.shape[1], self.max_images)
+                x, y = raw_corr[:, :vc, 0], raw_corr[:, :vc, 1]
+                ok = (x >= left) & (x < left + cw) & (y >= top) & (y < top + ch)
+                # pixel -> patch coordinates (`defaults.py:278-302`): scale the
+                # crop to the target size, then integer-divide by patch_size
+                py = ((y - top) * th // ch) // self.patch_size
+                px = ((x - left) * tw // cw) // self.patch_size
+                corr[:, :vc, 0] = np.where(ok, py, -1).astype(np.int32)
+                corr[:, :vc, 1] = np.where(ok, px, -1).astype(np.int32)
+
+        data_dict["images"] = images
+        data_dict["img_valid"] = img_valid
+        data_dict["correspondence"] = corr
+        return data_dict

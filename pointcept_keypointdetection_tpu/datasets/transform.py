@@ -39,6 +39,7 @@ VALID_INDEX_KEYS = (
     "grid_coord",
     "keypoint_offset",
     "keypoint_mask",
+    "correspondence",
 )
 
 
@@ -651,4 +652,261 @@ class HueSaturationTranslation:
         mean = rgb.mean(-1, keepdims=True)
         rgb = mean + (rgb - mean) * (s / np.maximum(s.mean() + 1e-8, 1e-8))[:, None]
         data_dict["color"] = np.clip(rgb * 255.0, 0, 255)
+        return data_dict
+
+
+def _pad_view(view, prefix, view_keys, slot, extra_keys=()):
+    """Assemble one crop view into fixed-slot arrays `{prefix}{coord,feat,
+    grid_coord,origin,valid,...}` — the padded-slot analogue of the reference's
+    ragged per-view concatenation (`transform.py:1208-1237`)."""
+    n = len(view["coord"])
+    if n > slot:
+        idx = np.random.choice(n, slot, replace=False)
+        for key in list(view.keys()):
+            if isinstance(view.get(key), np.ndarray) and view[key].shape[:1] == (n,):
+                view[key] = view[key][idx]
+        n = slot
+    feats = [
+        view[k].reshape(n, -1).astype(np.float32)
+        for k in view_keys
+        if k != "coord" and k in view and isinstance(view[k], np.ndarray)
+    ]
+    feat = np.concatenate(feats, axis=1) if feats else view["coord"].astype(np.float32)
+    out = {
+        prefix + "coord": view["coord"].astype(np.float32),
+        prefix + "feat": feat,
+        prefix + "grid_coord": view.get(
+            "grid_coord", np.zeros((n, 3), dtype=np.int64)
+        ).astype(np.int64),
+        prefix + "origin": view["origin"].astype(np.int64),
+    }
+    for k in extra_keys:
+        if k in view:
+            out[prefix + k] = view[k]
+    valid = np.zeros(slot, bool)
+    valid[:n] = True
+    for key, arr in list(out.items()):
+        pad = [(0, slot - n)] + [(0, 0)] * (arr.ndim - 1)
+        fill = -1 if key.endswith(("origin", "correspondence")) else 0
+        out[key] = np.pad(arr, pad, constant_values=fill)
+    out[prefix + "valid"] = valid
+    return out
+
+
+@TRANSFORMS.register_module()
+class MultiViewGenerator:
+    """Multi-crop view generator for Concerto/Sonata-style SSL.
+
+    Parity surface: `transform.py:1058-1237` — a *major* global crop centered
+    at a random point (within ``center_height_scale`` of the z-range, or at
+    the centroid of image-corresponded points when ``correspondence`` is
+    present), further global crops centered inside the major crop, and
+    ``local_view_num`` small crops covering the major crop; each crop is the
+    ``size`` nearest points to its center with ``size ~ U(scale)·N``.
+
+    TPU re-design: each view is emitted as fixed-slot padded arrays
+    ``global{i}_*`` / ``local{j}_*`` (with validity masks) instead of
+    offset-chained concatenation, and every view point carries its ``origin``
+    row index so the model recovers exact cross-view correspondences without
+    a knn (`concerto_v1m1_base.py:478-494` match_neighbour equivalent).
+    The major view keeps its point→image-patch ``correspondence`` rows for
+    the 2D-distillation branch.
+    """
+
+    def __init__(
+        self,
+        global_view_num=2,
+        global_view_scale=(0.4, 1.0),
+        local_view_num=4,
+        local_view_scale=(0.1, 0.4),
+        global_shared_transform=None,
+        global_transform=None,
+        local_transform=None,
+        max_size=65536,
+        center_height_scale=(0.0, 1.0),
+        shared_global_view=False,
+        view_keys=("coord", "color", "normal"),
+        global_slot=4096,
+        local_slot=1024,
+    ):
+        self.global_view_num = global_view_num
+        self.global_view_scale = global_view_scale
+        self.local_view_num = local_view_num
+        self.local_view_scale = local_view_scale
+        self.global_shared_transform = Compose(global_shared_transform)
+        self.global_transform = Compose(global_transform)
+        self.local_transform = Compose(local_transform)
+        self.max_size = max_size
+        self.center_height_scale = center_height_scale
+        self.shared_global_view = shared_global_view
+        self.view_keys = view_keys
+        self.global_slot = global_slot
+        self.local_slot = local_slot
+
+    def _get_view(self, point, center, scale, keep_correspondence=False):
+        coord = point["coord"]
+        max_size = min(self.max_size, coord.shape[0])
+        size = max(int(np.random.uniform(*scale) * max_size), 10)
+        index = np.argsort(np.sum(np.square(coord - center), axis=-1))[:size]
+        view = {k: point[k][index] for k in self.view_keys if k in point}
+        view["origin"] = point["origin"][index]
+        if keep_correspondence and "correspondence" in point:
+            view["correspondence"] = point["correspondence"][index]
+        view["index_valid_keys"] = [k for k in view if k != "index_valid_keys"] + ["grid_coord"]
+        return view, index
+
+    def __call__(self, data_dict):
+        coord = data_dict["coord"]
+        n = coord.shape[0]
+        data_dict["origin"] = np.arange(n)
+        point = self.global_shared_transform(copy.deepcopy(data_dict))
+
+        # major-view center: image-corresponded centroid if available, else a
+        # random point within the configured z-band (`transform.py:1136-1161`)
+        major_center = None
+        if "correspondence" in data_dict:
+            given = np.any(
+                data_dict["correspondence"].reshape(n, -1) != -1, axis=1
+            )
+            if given.any():
+                major_center = coord[given].mean(axis=0)
+        if major_center is None:
+            z_min, z_max = coord[:, 2].min(), coord[:, 2].max()
+            lo = z_min + (z_max - z_min) * self.center_height_scale[0]
+            hi = z_min + (z_max - z_min) * self.center_height_scale[1]
+            band = np.logical_and(coord[:, 2] >= lo, coord[:, 2] <= hi)
+            if not band.any():
+                band[:] = True
+            major_center = coord[np.random.choice(np.where(band)[0])]
+
+        major_view, major_index = self._get_view(
+            point, major_center, self.global_view_scale, keep_correspondence=True
+        )
+        major_coord = major_view["coord"]
+
+        global_views = [major_view]
+        for _ in range(self.global_view_num - 1):
+            if self.shared_global_view:
+                global_views.append({k: (v.copy() if isinstance(v, np.ndarray) else list(v)) for k, v in major_view.items()})
+            else:
+                center = major_coord[np.random.randint(major_coord.shape[0])]
+                global_views.append(self._get_view(point, center, self.global_view_scale)[0])
+
+        cover = np.zeros(len(major_index), bool)
+        local_views = []
+        for _ in range(self.local_view_num):
+            if (~cover).sum() == 0:
+                cover[:] = False
+            center = major_coord[np.random.choice(np.where(~cover)[0])]
+            view, index = self._get_view(data_dict, center, self.local_view_scale)
+            local_views.append(view)
+            cover[np.isin(major_index, index)] = True
+
+        out = {k: v for k, v in data_dict.items() if k not in ("origin",)}
+        for i, view in enumerate(global_views):
+            view = self.global_transform(view)
+            out.update(
+                _pad_view(
+                    view, f"global{i + 1}_", self.view_keys, self.global_slot,
+                    extra_keys=("correspondence",) if i == 0 else (),
+                )
+            )
+        for j, view in enumerate(local_views):
+            view = self.local_transform(view)
+            out.update(_pad_view(view, f"local{j + 1}_", self.view_keys, self.local_slot))
+        # primary cloud for PointBatch plumbing = major global view
+        out["coord"] = out["global1_coord"]
+        out["feat"] = out["global1_feat"]
+        out["grid_coord"] = out["global1_grid_coord"]
+        out["valid"] = out["global1_valid"]
+        out.pop("correspondence", None)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Image transforms (Concerto 2D branch) — numpy equivalents of the
+# torchvision-based ops at `transform.py:1298-1400`; images are [V, 3, H, W]
+# float arrays in [0, 1].
+# ---------------------------------------------------------------------------
+
+IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+
+
+@TRANSFORMS.register_module()
+class ImgNormalize:
+    """Channel-wise standardization (`transform.py:1364-1375` Imgnormalize)."""
+
+    def __init__(self, mean=IMAGENET_DEFAULT_MEAN, std=IMAGENET_DEFAULT_STD, key="images"):
+        self.mean = np.asarray(mean, np.float32).reshape(1, 3, 1, 1)
+        self.std = np.asarray(std, np.float32).reshape(1, 3, 1, 1)
+        self.key = key
+
+    def __call__(self, data_dict):
+        if self.key in data_dict and len(data_dict[self.key]):
+            data_dict[self.key] = (data_dict[self.key] - self.mean) / self.std
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ImgGaussianBlur:
+    """Random gaussian blur (`transform.py:1308-1327`)."""
+
+    def __init__(self, p=0.5, radius_min=0.1, radius_max=2.0, key="images"):
+        self.p = p
+        self.radius_min = radius_min
+        self.radius_max = radius_max
+        self.key = key
+
+    def __call__(self, data_dict):
+        imgs = data_dict.get(self.key)
+        if imgs is None or not len(imgs):
+            return data_dict
+        if np.random.rand() < self.p:
+            sigma = np.random.uniform(self.radius_min, self.radius_max)
+            data_dict[self.key] = scipy.ndimage.gaussian_filter(
+                imgs, sigma=(0, 0, sigma, sigma)
+            ).astype(imgs.dtype)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ImgChromaticJitter:
+    """Per-channel additive noise (`transform.py:1330-1342`)."""
+
+    def __init__(self, p=0.95, std=0.005, key="images"):
+        self.p = p
+        self.std = std
+        self.key = key
+
+    def __call__(self, data_dict):
+        imgs = data_dict.get(self.key)
+        if imgs is None or not len(imgs):
+            return data_dict
+        if np.random.rand() < self.p:
+            noise = (np.random.rand(3).astype(np.float32) * self.std).reshape(1, 3, 1, 1)
+            data_dict[self.key] = np.clip(imgs + noise, 0, 1)
+        return data_dict
+
+
+@TRANSFORMS.register_module()
+class ImgPixelContrast:
+    """Invert a random subset of pixels (`transform.py:1345-1360`)."""
+
+    def __init__(self, threshold=0.01, p=0.2, key="images"):
+        self.threshold = threshold
+        self.p = p
+        self.key = key
+
+    def __call__(self, data_dict):
+        imgs = data_dict.get(self.key)
+        if imgs is None or not len(imgs):
+            return data_dict
+        if np.random.rand() < self.p:
+            v, _, h, w = imgs.shape
+            num = int(self.threshold * v * h * w)
+            flat = imgs.transpose(0, 2, 3, 1).reshape(-1, 3)
+            idx = np.random.randint(0, flat.shape[0], num)
+            flat[idx] = 1.0 - flat[idx]
+            data_dict[self.key] = flat.reshape(v, h, w, 3).transpose(0, 3, 1, 2)
         return data_dict

@@ -182,7 +182,7 @@ class Trainer(TrainerBase):
         init_rng, self.step_rng = jax.random.split(rng)
         init_fn = jax.jit(functools.partial(self.model.init, train=True))
         variables = init_fn(
-            {"params": init_rng, "dropout": init_rng, "shuffle": init_rng},
+            {"params": init_rng, "dropout": init_rng, "shuffle": init_rng, "mask": init_rng},
             point,
             batch,
         )
@@ -227,7 +227,7 @@ class Trainer(TrainerBase):
                 batch,
                 train=True,
                 mutable=["batch_stats"],
-                rngs={"dropout": drop_rng, "shuffle": shuffle_rng},
+                rngs={"dropout": drop_rng, "shuffle": shuffle_rng, "mask": jax.random.fold_in(drop_rng, 7)},
             )
             return out["loss"].astype(jnp.float32), (mutated.get("batch_stats", {}), out)
 

@@ -15,6 +15,7 @@ from . import octformer  # noqa: F401
 from . import oacnns  # noqa: F401
 from . import spvcnn  # noqa: F401
 from . import sonata  # noqa: F401
+from . import concerto  # noqa: F401
 from . import stratified_transformer  # noqa: F401
 from . import context_aware_classifier  # noqa: F401
 from . import sgiformer  # noqa: F401

@@ -300,6 +300,10 @@ class PointTransformerV3(nn.Module):
     drop_path: float = 0.3
     shuffle_orders: bool = True
     enc_mode: bool = False
+    # enc-mode only: unwind this many pooling levels, concatenating coarse
+    # features onto the parent resolution (reference `up_cast`,
+    # concerto_v1m1_base.py:517-529).  num_stages-1 -> full resolution.
+    upcast_level: int = 0
     # per-encoder-stage slot capacity divisor vs the input slot size
     slot_divisors: Sequence[int] = (1, 2, 4, 8, 16)
     attn_impl: str = "auto"
@@ -402,6 +406,17 @@ class PointTransformerV3(nn.Module):
                     blk += 1
 
         if self.enc_mode:
+            # up-cast: broadcast coarse features to parent resolution and
+            # concat with the skip features, `upcast_level` times
+            for lvl in range(self.upcast_level):
+                s = num_stages - 1 - lvl
+                su, skip = sus[s - 1], skips[s - 1]
+                pad = jnp.concatenate(
+                    [x.feat, jnp.zeros((1, x.feat.shape[-1]), x.feat.dtype)], axis=0
+                )
+                prow = jnp.minimum(su.parent_row, x.feat.shape[0])
+                gathered = jnp.take(pad, prow, axis=0)
+                x = skip.replace(feat=jnp.concatenate([skip.feat, gathered], axis=-1))
             return x.feat
 
         # ---- decoder -----------------------------------------------------

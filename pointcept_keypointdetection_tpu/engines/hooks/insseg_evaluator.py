@@ -187,7 +187,8 @@ class InsSegEvaluator(HookBase):
             out = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats}, point, batch, train=False
             )
-            return jnp.argmax(out["seg_logits"], -1).astype(jnp.int32), out["bias_pred"]
+            probs = jax.nn.softmax(out["seg_logits"].astype(jnp.float32), -1)
+            return jnp.argmax(probs, -1).astype(jnp.int32), out["bias_pred"], probs
 
         self._eval_step = jax.jit(eval_step, static_argnums=(2,))
 
@@ -209,8 +210,9 @@ class InsSegEvaluator(HookBase):
             ns = batch_np["num_samples"]
             batch = shard_batch(batch_np, trainer.mesh)
             batch.pop("num_samples", None)
-            seg_pred, bias_pred = self._eval_step(trainer.state, batch, ns)
+            seg_pred, bias_pred, seg_probs = self._eval_step(trainer.state, batch, ns)
             from ..common import build_point_batch
+            from ...models.point_group import proposals_from_labels
 
             point = build_point_batch(batch, ns)
             labels = cluster_proposals(
@@ -219,11 +221,10 @@ class InsSegEvaluator(HookBase):
             )
             valid = np.asarray(batch_np["valid"])
             seg_pred = np.asarray(seg_pred)
-            # build proposal masks
-            uniq = np.unique(labels[labels >= 0])
-            masks = np.stack([labels == u for u in uniq]) if len(uniq) else np.zeros((0, len(labels)), bool)
-            classes = np.array([np.bincount(seg_pred[m]).argmax() for m in masks], int) if len(uniq) else np.zeros(0, int)
-            scores = masks.sum(1) / max(valid.sum(), 1) if len(uniq) else np.zeros(0)
+            # proposal masks + mean-confidence scores
+            # (`point_group_v1m1_base.py:150-176`)
+            masks, classes, scores = proposals_from_labels(labels, seg_pred, np.asarray(seg_probs))
+            uniq = np.arange(len(masks))
             gt, pr = associate_instances(
                 classes, scores, masks[:, valid] if len(uniq) else masks,
                 np.asarray(batch_np["segment"])[valid],

@@ -108,3 +108,41 @@ def cluster_proposals(
     if small:
         labels[np.isin(labels, list(small))] = -1
     return labels
+
+
+def proposals_from_labels(
+    labels,
+    seg_pred,
+    seg_probs=None,
+    propose_points: int = 0,
+):
+    """Cluster labels -> (masks [P, N] bool, classes [P], scores [P]).
+
+    Scoring follows `point_group_v1m1_base.py:150-176`: a proposal's class is
+    the majority predicted segment of its members and its score the mean
+    softmax confidence of that class over the members (cluster size fraction
+    when no probabilities are given); proposals smaller than
+    ``propose_points`` are dropped (`cluster_propose_points`).
+    """
+    import numpy as np
+
+    labels = np.asarray(labels)
+    seg_pred = np.asarray(seg_pred)
+    uniq = np.unique(labels[labels >= 0])
+    masks, classes, scores = [], [], []
+    for u in uniq:
+        m = labels == u
+        if propose_points and m.sum() <= propose_points:
+            continue
+        cls = np.bincount(seg_pred[m]).argmax()
+        if seg_probs is not None:
+            score = float(np.asarray(seg_probs)[m, cls].mean())
+        else:
+            score = float(m.sum()) / max(len(labels), 1)
+        masks.append(m)
+        classes.append(int(cls))
+        scores.append(score)
+    if not masks:
+        n = len(labels)
+        return np.zeros((0, n), bool), np.zeros(0, int), np.zeros(0)
+    return np.stack(masks), np.asarray(classes, int), np.asarray(scores)

@@ -107,7 +107,14 @@ class PointPromptTraining(nn.Module):
         context = jnp.take(embed, jnp.clip(cond, 0, M - 1), axis=0)
         point = point.replace(feat=jnp.concatenate([point.feat, context.astype(point.feat.dtype)], axis=-1))
 
-        feat = build_model(dict(self.backbone))(point, train=train)
+        bb_cfg = dict(self.backbone)
+        bb = build_model(bb_cfg)
+        if bb_cfg.get("pdnorm_conditions"):
+            # backbone-internal PDNorm (SpUNet-v1m3 wiring): the per-sample
+            # dataset index conditions every norm site in the backbone
+            feat = bb(point, train=train, condition=cond_per_sample)
+        else:
+            feat = bb(point, train=train)
 
         # decoupled per-dataset heads, padded to the max class count
         max_k = max(self.num_classes)

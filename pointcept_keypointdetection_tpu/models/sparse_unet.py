@@ -37,6 +37,21 @@ def _trunc_normal(std):
     return nn.initializers.truncated_normal(stddev=std, lower=-2 * std, upper=2 * std)
 
 
+def _make_norm(features, bn_momentum, num_conditions, name=None):
+    """Norm factory: MaskedBatchNorm, or PDNorm when ``num_conditions`` > 0
+    (the SpUNet-v1m3 PDNorm wiring, `spconv_unet_v1m3_pdnorm.py`).  Returns a
+    uniform callable (feat, valid, cond, train) -> feat."""
+    if num_conditions:
+        from .point_prompt_training import PDNorm
+
+        pd = PDNorm(features, num_conditions, momentum=bn_momentum, name=name)
+        return lambda feat, valid, cond, train: pd(
+            feat, valid, cond, use_running_average=not train
+        )
+    mbn = MaskedBatchNorm(features, momentum=bn_momentum, name=name)
+    return lambda feat, valid, cond, train: mbn(feat, valid, not train)
+
+
 class SubMConv(nn.Module):
     """Submanifold sparse conv via a precomputed kernel map."""
 
@@ -62,18 +77,20 @@ class BasicBlock(nn.Module):
 
     features: int
     bn_momentum: float = 0.01
+    num_conditions: int = 0  # >0: PDNorm instead of BatchNorm (v1m3)
 
     @nn.compact
-    def __call__(self, feat, valid, kmap, train: bool):
+    def __call__(self, feat, valid, kmap, train: bool, cond=None):
+        norm = lambda name: _make_norm(self.features, self.bn_momentum, self.num_conditions, name)
         identity = feat
         out = SubMConv(self.features, SparseConvSpec.cube(3))(feat, kmap)
-        out = MaskedBatchNorm(self.features, momentum=self.bn_momentum)(out, valid, not train)
+        out = norm("norm1")(out, valid, cond, train)
         out = nn.relu(out)
         out = SubMConv(self.features, SparseConvSpec.cube(3))(out, kmap)
-        out = MaskedBatchNorm(self.features, momentum=self.bn_momentum)(out, valid, not train)
+        out = norm("norm2")(out, valid, cond, train)
         if feat.shape[-1] != self.features:
             identity = nn.Dense(self.features, use_bias=False, kernel_init=_trunc_normal(0.02))(identity)
-            identity = MaskedBatchNorm(self.features, momentum=self.bn_momentum)(identity, valid, not train)
+            identity = norm("norm_proj")(identity, valid, cond, train)
         out = nn.relu(out + identity)
         return out
 
@@ -148,6 +165,8 @@ class InverseConvUp(nn.Module):
 
 
 @MODELS.register_module("SpUNet-v1m1")
+@MODELS.register_module("SpUNet-v1m2")  # BN-momentum variant: pass bn_momentum
+@MODELS.register_module("SpUNet-v1m3")  # PDNorm variant: pass pdnorm_conditions
 class SpUNet(nn.Module):
     """MinkUNet-topology sparse U-Net over a PointBatch.
 
@@ -164,12 +183,23 @@ class SpUNet(nn.Module):
     bn_momentum: float = 0.01
     # per-encoder-stage slot capacity divisor relative to the input slot size
     slot_divisors: Sequence[int] = (1, 2, 4, 8)
+    # >0 enables PDNorm at every norm site, conditioned on the per-sample
+    # dataset index (SpUNet-v1m3, `spconv_unet_v1m3_pdnorm.py`)
+    pdnorm_conditions: int = 0
 
     @nn.compact
-    def __call__(self, point: PointBatch, train: bool = False):
+    def __call__(self, point: PointBatch, train: bool = False, condition=None):
         assert len(self.layers) % 2 == 0 and len(self.layers) == len(self.channels)
         num_stages = len(self.layers) // 2
         bnm = self.bn_momentum
+        npd = self.pdnorm_conditions
+        if npd and condition is None:
+            condition = jnp.zeros((point.num_samples,), jnp.int32)
+
+        def cond_of(pb):
+            # per-point condition at any resolution: gather the per-sample
+            # index by the point's sample id
+            return jnp.take(condition, pb.batch) if npd else None
 
         # --- stem (SubMConv k=stem_kernel) --------------------------------
         batch = point.batch
@@ -183,7 +213,7 @@ class SpUNet(nn.Module):
             else build_kernel_map(index0, point.grid_coord, batch, point.valid, SparseConvSpec.cube(3), _DEPTH)
         )
         feat = SubMConv(self.base_channels, SparseConvSpec.cube(self.stem_kernel))(point.feat, kmap_stem)
-        feat = MaskedBatchNorm(self.base_channels, momentum=bnm)(feat, point.valid, not train)
+        feat = _make_norm(self.base_channels, bnm, npd)(feat, point.valid, cond_of(point), train)
         feat = nn.relu(feat)
         point = point.replace(feat=feat)
 
@@ -195,14 +225,16 @@ class SpUNet(nn.Module):
         for s in range(num_stages):
             cap = max(slot // self.slot_divisors[s], 1)
             pooled, su = StridedConvDown(self.channels[s])(skips[-1], cap)
-            feat = MaskedBatchNorm(self.channels[s], momentum=bnm)(pooled.feat, pooled.valid, not train)
+            feat = _make_norm(self.channels[s], bnm, npd)(pooled.feat, pooled.valid, cond_of(pooled), train)
             pooled = pooled.replace(feat=nn.relu(feat))
             b = pooled.batch
             idx = build_voxel_index(pooled.grid_coord, b, pooled.valid, _DEPTH)
             kmap = build_kernel_map(idx, pooled.grid_coord, b, pooled.valid, SparseConvSpec.cube(3), _DEPTH)
             for i in range(self.layers[s]):
                 pooled = pooled.replace(
-                    feat=BasicBlock(self.channels[s], bnm)(pooled.feat, pooled.valid, kmap, train)
+                    feat=BasicBlock(self.channels[s], bnm, npd)(
+                        pooled.feat, pooled.valid, kmap, train, cond_of(pooled)
+                    )
                 )
             skips.append(pooled)
             sus.append(su)
@@ -214,11 +246,13 @@ class SpUNet(nn.Module):
             dec_ch = self.channels[len(self.channels) - s - 2]
             skip = skips[s]
             up = InverseConvUp(dec_ch)(x.feat, skip, sus[s])
-            up = MaskedBatchNorm(dec_ch, momentum=bnm)(up, skip.valid, not train)
+            up = _make_norm(dec_ch, bnm, npd)(up, skip.valid, cond_of(skip), train)
             up = nn.relu(up)
             x = skip.replace(feat=jnp.concatenate([up, skip.feat], axis=-1))
             for i in range(self.layers[len(self.channels) - s - 1]):
-                x = x.replace(feat=BasicBlock(dec_ch, bnm)(x.feat, x.valid, kmaps[s], train))
+                x = x.replace(
+                    feat=BasicBlock(dec_ch, bnm, npd)(x.feat, x.valid, kmaps[s], train, cond_of(x))
+                )
 
         if self.num_classes > 0:
             logits = nn.Dense(self.num_classes, kernel_init=_trunc_normal(0.02))(x.feat)

@@ -108,3 +108,51 @@ def test_cac_segmentor(rng):
         point, batch, train=False,
     )
     assert np.isfinite(np.asarray(out_eval["seg_logits"], np.float32)).all()
+
+
+def test_ppt_backbone_internal_pdnorm(rng):
+    """SpUNet-v1m3 wiring: pdnorm_conditions>0 routes the per-sample dataset
+    index into PDNorm at every norm site of the backbone."""
+    model = MODELS.build(
+        dict(
+            type="PPT-v1m2",
+            conditions=("A", "B"),
+            num_classes=(5, 3),
+            context_channels=8,
+            backbone=dict(
+                type="SpUNet-v1m3",
+                in_channels=4 + 8,
+                num_classes=0,
+                base_channels=8,
+                channels=(8, 16, 16, 16, 16, 16, 8, 8),
+                layers=(1, 1, 1, 1, 1, 1, 1, 1),
+                stem_kernel=3,
+                pdnorm_conditions=2,
+            ),
+            criteria=[dict(type="CrossEntropyLoss")],
+        )
+    )
+    point = _point(rng)
+    batch = {
+        "condition": jnp.asarray([0, 1], jnp.int32),
+        "segment": jnp.zeros(point.num_points, jnp.int32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), point, batch, train=True)
+    # PDNorm param tables carry a leading condition axis
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    pd_scales = [p for path, p in flat if any(getattr(k, "key", "") == "scale" for k in path)]
+    assert any(p.shape[0] == 2 for p in pd_scales if p.ndim == 2), "no per-condition scale tables"
+    out, _ = model.apply(
+        variables, point, batch, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert np.isfinite(float(out["loss"]))
+
+    # changing one sample's condition must change its logits (decoupled norms)
+    out0 = model.apply(variables, point, batch, train=False)
+    out1 = model.apply(
+        variables, point, dict(batch, condition=jnp.asarray([1, 1], jnp.int32)), train=False
+    )
+    s0 = np.asarray(out0["seg_logits"])[: point.slot_size]
+    s1 = np.asarray(out1["seg_logits"])[: point.slot_size]
+    assert not np.allclose(s0, s1)

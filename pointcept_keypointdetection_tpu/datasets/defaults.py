@@ -33,11 +33,13 @@ class DefaultDataset:
         transform=None,
         test_mode=False,
         test_cfg=None,
+        cache=False,
         loop=1,
         ignore_index=-1,
     ):
         self.data_root = data_root
         self.split = split
+        self.cache = cache
         self.transform = Compose(transform)
         self.loop = loop if not test_mode else 1
         self.test_mode = test_mode
@@ -67,6 +69,27 @@ class DefaultDataset:
 
     def get_data(self, idx):
         data_path = self.data_list[idx % len(self.data_list)]
+        if self.cache:
+            # /dev/shm shared cache (`datasets/defaults.py:105-116` cache path,
+            # pre-populated by the DataCacheOperator hook)
+            from ..utils import cache as shm_cache
+
+            cache_name = f"pkt-{data_path.replace(os.path.sep, '-')}"
+            if shm_cache.exists(cache_name):
+                data_dict = shm_cache.shared_dict(cache_name)
+                data_dict["name"] = self.get_data_name(idx)
+                return data_dict
+            data_dict = self._load_assets(data_path)
+            named = dict(data_dict)
+            named.pop("name", None)
+            shm_cache.shared_dict(cache_name, named)
+            data_dict["name"] = self.get_data_name(idx)
+            return data_dict
+        data_dict = self._load_assets(data_path)
+        data_dict["name"] = self.get_data_name(idx)
+        return data_dict
+
+    def _load_assets(self, data_path):
         data_dict = {}
         assets = os.listdir(data_path)
         for asset in assets:
@@ -76,7 +99,6 @@ class DefaultDataset:
             if name not in VALID_ASSETS:
                 continue
             data_dict[name] = np.load(os.path.join(data_path, asset))
-        data_dict["name"] = self.get_data_name(idx)
         if "coord" in data_dict:
             data_dict["coord"] = data_dict["coord"].astype(np.float32)
         if "color" in data_dict:

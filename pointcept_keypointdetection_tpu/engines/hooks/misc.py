@@ -313,6 +313,34 @@ class GarbageHandler(HookBase):
 
 
 @HOOKS.register_module()
+class DataCacheOperator(HookBase):
+    """Pre-populate the /dev/shm shared dataset cache before training
+    (parity: `hooks/misc.py:312-344`).  Walks the train dataset's data list
+    once so every worker afterwards reads from shared memory."""
+
+    def __init__(self, data_root=None, mem_limit_gb=None):
+        self.data_root = data_root
+        self.mem_limit_gb = mem_limit_gb
+
+    def before_train(self):
+        dataset = getattr(self.trainer.train_loader, "dataset", None)
+        if dataset is None or not getattr(dataset, "cache", False):
+            return
+        from ...utils import cache as shm_cache
+
+        logger = get_root_logger()
+        logger.info("DataCacheOperator: populating shared cache (%d items)", len(dataset.data_list))
+        for i in range(len(dataset.data_list)):
+            if self.mem_limit_gb is not None:
+                free_gb = shutil.disk_usage(shm_cache.CACHE_ROOT).free / 2**30 if os.path.isdir(shm_cache.CACHE_ROOT) else 1e9
+                if free_gb < self.mem_limit_gb:
+                    logger.warning("DataCacheOperator: stopping early, /dev/shm low (%.1f GB free)", free_gb)
+                    break
+            dataset.get_data(i)
+        logger.info("DataCacheOperator: done")
+
+
+@HOOKS.register_module()
 class ModelHook(HookBase):
     """Forward trainer events into the model object when it defines hook
     methods (parity: `hooks/default.py:39` — used by SSL teachers/EMA)."""

@@ -54,9 +54,10 @@ class SubMConvCPE(nn.Module):
     @nn.compact
     def __call__(self, feat, kmap):
         k = kmap.neighbor_idx.shape[1]
+        dt = feat.dtype
         if self.bottleneck > 0:
             mid = self.bottleneck
-            x = nn.Dense(mid, use_bias=False, name="down")(feat)
+            x = nn.Dense(mid, use_bias=False, dtype=dt, name="down")(feat)
             w = self.param(
                 "weight",
                 nn.initializers.truncated_normal(0.02, lower=-0.04, upper=0.04),
@@ -65,7 +66,7 @@ class SubMConvCPE(nn.Module):
             )
             b = self.param("bias", nn.initializers.zeros, (mid,), jnp.float32)
             x = sparse_conv(x, kmap, w, b)
-            out = nn.Dense(self.channels, name="up")(x)
+            out = nn.Dense(self.channels, dtype=dt, name="up")(x)
         else:
             w = self.param(
                 "weight",
@@ -75,7 +76,7 @@ class SubMConvCPE(nn.Module):
             )
             b = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
             out = sparse_conv(feat, kmap, w, b)
-        out = nn.Dense(self.channels)(out)
+        out = nn.Dense(self.channels, dtype=dt)(out)
         out = LayerNorm(self.channels)(out)
         return out
 
@@ -100,7 +101,7 @@ class SerializedAttention(nn.Module):
         order = jnp.take(point.serialized_order, idx, axis=0)
         inverse = jnp.take(point.serialized_inverse, idx, axis=0)
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(point.feat)
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=point.feat.dtype, name="qkv")(point.feat)
         if self.lora_rank > 0:
             r = self.lora_rank
             cin = point.feat.shape[-1]
@@ -121,7 +122,7 @@ class SerializedAttention(nn.Module):
             chunk = 256 if self.patch_size >= 256 else 0
             feat = patch_attention_xla(qkv_sorted, valid_sorted, self.patch_size, scale, chunk)
         feat = jnp.take(feat, inverse, axis=0)
-        feat = nn.Dense(c, name="proj")(feat)
+        feat = nn.Dense(c, dtype=feat.dtype, name="proj")(feat)
         return feat
 
 
@@ -132,9 +133,10 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         hidden = int(self.channels * self.mlp_ratio)
-        x = nn.Dense(hidden)(x)
+        dt = x.dtype
+        x = nn.Dense(hidden, dtype=dt)(x)
         x = nn.gelu(x)
-        x = nn.Dense(self.channels)(x)
+        x = nn.Dense(self.channels, dtype=dt)(x)
         return x
 
 
@@ -243,8 +245,8 @@ class SerializedPooling(nn.Module):
         su = slotted_unique(code, point.valid, batch, point.num_samples, slot_capacity)
         m = point.num_samples * slot_capacity
 
-        feat = nn.Dense(self.out_channels, name="proj")(point.feat)
-        feat = jnp.where(point.valid[:, None], feat, 0.0)
+        feat = nn.Dense(self.out_channels, dtype=point.feat.dtype, name="proj")(point.feat)
+        feat = jnp.where(point.valid[:, None], feat, jnp.zeros((), feat.dtype))
         pooled_feat = segment_reduce(feat, su.parent_row, m, self.reduce)
         pooled_coord = segment_mean(point.coord * point.valid[:, None], su.parent_row, m)
         head = jnp.minimum(su.head_row, point.num_points - 1)
@@ -272,9 +274,9 @@ class SerializedUnpooling(nn.Module):
 
     @nn.compact
     def __call__(self, pooled: PointBatch, skip: PointBatch, su):
-        feat = nn.Dense(self.out_channels, name="proj")(pooled.feat)
+        feat = nn.Dense(self.out_channels, dtype=pooled.feat.dtype, name="proj")(pooled.feat)
         feat = LayerNorm(self.out_channels, name="proj_norm")(feat)
-        skip_feat = nn.Dense(self.out_channels, name="proj_skip")(skip.feat)
+        skip_feat = nn.Dense(self.out_channels, dtype=skip.feat.dtype, name="proj_skip")(skip.feat)
         skip_feat = LayerNorm(self.out_channels, name="skip_norm")(skip_feat)
         pad = jnp.concatenate([feat, jnp.zeros((1, self.out_channels), feat.dtype)], axis=0)
         prow = jnp.minimum(su.parent_row, feat.shape[0])

@@ -79,18 +79,24 @@ def build_kernel_map(
 ) -> KernelMap:
     """For each voxel and each offset, find the neighbor's row index (or N).
 
-    ``sortmerge`` (default): Minuet-style — concatenate target and query codes,
-    ONE lexsort + running-max scan recovers every query's equal-key target; no
-    data-dependent gather chains (TPU gathers are the bottleneck of the
-    binary-search alternative).  ``bsearch``: the log(N)-round binary search
-    (kept as an oracle/fallback).
+    Methods:
+
+    * ``hash`` (default): open-addressing hash table over the active voxel
+      codes (double hashing, fingerprint-packed entries, exact-code verify);
+      probe loops are ``lax.while_loop``s, so the cost is the ~2-3 rounds that
+      actually run, not a log(N) worst case.  The TPU analogue of spconv's
+      GPU hash-table indice maps.
+    * ``bsearch``: log(N)-round lexicographic binary search in the sorted code
+      index, with symmetric-offset halving (exact oracle, no hash assumptions).
+    * ``sortmerge``: Minuet-style — concatenate target and query codes, one
+      lexsort + running-max scan recovers every query's equal-key target.
     """
     from .codes import code_or_batch
 
     if method is None:
         import os
 
-        method = os.environ.get("PKT_KMAP_METHOD", "bsearch")
+        method = os.environ.get("PKT_KMAP_METHOD", "hash")
     n = grid_coord.shape[0]
     offs = np.asarray(spec.offsets, np.int32)  # [K, 3]
     k = offs.shape[0]
@@ -98,13 +104,13 @@ def build_kernel_map(
     # Symmetric-offset halving: map[i][d] = j  <=>  map[j][-d] = i, so only
     # offsets with positive lexicographic direction need searching; the
     # mirrored half is recovered by one scatter per column.  Cuts the
-    # dominant search cost 2x for centered cubes.
+    # dominant search cost 2x for centered cubes.  Applies to every method.
     opposite = {}
     for ki, o in enumerate(map(tuple, offs)):
         neg = tuple(-x for x in o)
         if neg in spec.offsets:
             opposite[ki] = spec.offsets.index(neg)
-    can_halve = method == "bsearch" and len(opposite) == k
+    can_halve = not method.endswith("_nohalve") and len(opposite) == k and k > 1
     if can_halve:
         iota = jnp.arange(n, dtype=jnp.int32)
         search_cols = [
@@ -112,7 +118,7 @@ def build_kernel_map(
             if o > tuple(-x for x in o)  # strictly positive direction; identity excluded
         ]
         sub_spec = SparseConvSpec(offsets=tuple(tuple(offs[ki]) for ki in search_cols))
-        half = build_kernel_map(index, grid_coord, batch, valid, sub_spec, depth, method="bsearch_nohalve")
+        half = build_kernel_map(index, grid_coord, batch, valid, sub_spec, depth, method=method + "_nohalve")
         neighbor = jnp.full((n, k), n, jnp.int32)
         for slot, ki in enumerate(search_cols):
             col = half.neighbor_idx[:, slot]
@@ -125,8 +131,10 @@ def build_kernel_map(
             if o == (0, 0, 0):
                 neighbor = neighbor.at[:, ki].set(jnp.where(valid, iota, n))
         return KernelMap(neighbor_idx=neighbor)
-    if method == "bsearch_nohalve":
-        method = "bsearch"
+    if method.endswith("_nohalve"):
+        method = method[: -len("_nohalve")]
+    if method == "hash":
+        return _hash_kernel_map(index, grid_coord, batch, valid, spec, depth)
 
     # Query codes for all (point, offset) pairs: [N*K]
     qcoord = grid_coord[:, None, :].astype(jnp.int32) + jnp.asarray(offs)[None, :, :]
@@ -173,6 +181,127 @@ def build_kernel_map(
     neighbor = rows_c.reshape(nchunks, n, chunk).transpose(1, 0, 2).reshape(n, pad_k)[:, :k]
     neighbor = jnp.where(in_range, neighbor, n).astype(jnp.int32)
     return KernelMap(neighbor_idx=neighbor)
+
+
+def _hash_mix(hi: jnp.ndarray, lo: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two independent u32 hashes of a (hi, lo) code (murmur-style finalizers)."""
+    h = lo * jnp.uint32(0x9E3779B1) ^ hi * jnp.uint32(0x85EBCA6B)
+    h = (h ^ (h >> 15)) * jnp.uint32(0x2C1B3C6D)
+    h = (h ^ (h >> 12)) * jnp.uint32(0x297A2D39)
+    h = h ^ (h >> 15)
+    g = lo * jnp.uint32(0xC2B2AE35) ^ hi * jnp.uint32(0x27D4EB2F)
+    g = (g ^ (g >> 13)) * jnp.uint32(0x165667B1)
+    g = g ^ (g >> 16)
+    return h, g
+
+
+def _hash_kernel_map(
+    index: SortedVoxelIndex,
+    grid_coord: jnp.ndarray,
+    batch: jnp.ndarray,
+    valid: jnp.ndarray,
+    spec: SparseConvSpec,
+    depth: int,
+) -> KernelMap:
+    """Hash-table kernel map: O(1) expected probes per query.
+
+    Replaces spconv's GPU hash-table indice-map build
+    (`spconv_unet_v1m1_base.py` relies on it via ``indice_key``) with a TPU
+    formulation: a double-hashed open-addressing table of (fingerprint | row)
+    u32 entries; insert/probe loops are ``lax.while_loop``s whose executed trip
+    count is the actual max probe chain (~2-3 at load factor 1/8), not a
+    static worst case.  Exactness: every fingerprint hit is verified against
+    the stored row's full 64-bit code, and probing continues until an empty
+    slot proves a miss — no false positives/negatives by construction.
+    """
+    from .codes import code_or_batch
+
+    n = grid_coord.shape[0]
+    offs = np.asarray(spec.offsets, np.int32)
+    k = offs.shape[0]
+
+    # voxel codes (table keys); invalid voxels excluded from insertion
+    code = code_or_batch(z_order_encode(grid_coord, depth), batch, depth)
+    code = code_fill_invalid(code, valid)
+
+    tbits = max(int(np.ceil(np.log2(max(n, 2)))) + 3, 4)  # load factor <= 1/8
+    tsize = 1 << tbits
+    tmask = jnp.uint32(tsize - 1)
+    rowbits = max(int(np.ceil(np.log2(n + 1))), 1)
+    assert rowbits + 1 <= 32, "fingerprint needs at least 1 bit"
+    fpmask = jnp.uint32((1 << (32 - rowbits)) - 1)
+    rowmask = jnp.uint32((1 << rowbits) - 1)
+    empty = jnp.uint32(0xFFFFFFFF)
+
+    def entry_of(h2, row):
+        fp = (h2 >> jnp.uint32(rowbits)) & fpmask
+        # avoid the all-ones entry colliding with "empty"
+        fp = jnp.where((fp == fpmask) & (rowmask == row), fp - 1, fp)
+        return (fp << jnp.uint32(rowbits)) | row
+
+    h1, h2 = _hash_mix(code.hi, code.lo)
+    step_ins = (h2 | jnp.uint32(1)) & tmask
+    rows = jnp.arange(n, dtype=jnp.uint32)
+    my_entry = entry_of(h2, rows)
+
+    table = jnp.full((tsize,), empty, jnp.uint32)
+
+    def ins_cond(state):
+        table, placed, r = state
+        return ~jnp.all(placed)
+
+    def ins_body(state):
+        table, placed, r = state
+        pos = (h1 + r * step_ins) & tmask
+        slot = jnp.take(table, pos.astype(jnp.int32), axis=0)
+        attempt = ~placed & (slot == empty)
+        tgt = jnp.where(attempt, pos.astype(jnp.int32), tsize)
+        table = table.at[tgt].set(my_entry, mode="drop")
+        won = attempt & (jnp.take(table, pos.astype(jnp.int32), axis=0) == my_entry)
+        return table, placed | won, r + jnp.uint32(1)
+
+    placed0 = ~valid  # invalid rows never insert
+    table, _, _ = jax.lax.while_loop(ins_cond, ins_body, (table, placed0, jnp.uint32(0)))
+
+    # ---- queries: all (point, offset) pairs -----------------------------
+    qcoord = grid_coord[:, None, :].astype(jnp.int32) + jnp.asarray(offs)[None, :, :]
+    in_range = (jnp.all(qcoord >= 0, axis=-1) & valid[:, None]).reshape(-1)
+    qcode = z_order_encode(jnp.maximum(qcoord, 0).reshape(-1, 3), depth)
+    qbatch = jnp.broadcast_to(batch[:, None], (n, k)).reshape(-1)
+    qcode = code_or_batch(qcode, qbatch, depth)
+
+    qh1, qh2 = _hash_mix(qcode.hi, qcode.lo)
+    qstep = (qh2 | jnp.uint32(1)) & tmask
+    qfp_entry_hi = (qh2 >> jnp.uint32(rowbits)) & fpmask  # candidate fp to match
+
+    nq = n * k
+    result0 = jnp.full((nq,), n, jnp.int32)
+
+    def q_cond(state):
+        result, resolved, r = state
+        return ~jnp.all(resolved)
+
+    def q_body(state):
+        result, resolved, r = state
+        pos = ((qh1 + r * qstep) & tmask).astype(jnp.int32)
+        slot = jnp.take(table, pos, axis=0)
+        is_empty = slot == empty
+        row = (slot & rowmask).astype(jnp.int32)
+        fp = slot >> jnp.uint32(rowbits)
+        cand = ~resolved & ~is_empty & ((fp == qfp_entry_hi) | (fp == qfp_entry_hi - 1))
+        # exact verify of fingerprint candidates against the stored code
+        vrow = jnp.where(cand, row, 0)
+        ok = cand & (jnp.take(code.hi, vrow, axis=0) == qcode.hi) & (
+            jnp.take(code.lo, vrow, axis=0) == qcode.lo
+        )
+        result = jnp.where(ok, row, result)
+        resolved = resolved | ok | (~resolved & is_empty)
+        return result, resolved, r + jnp.uint32(1)
+
+    resolved0 = ~in_range  # out-of-range queries already miss
+    result, _, _ = jax.lax.while_loop(q_cond, q_body, (result0, resolved0, jnp.uint32(0)))
+    result = jnp.where(in_range, result, n)
+    return KernelMap(neighbor_idx=result.reshape(n, k))
 
 
 def _sortmerge_lookup(index: SortedVoxelIndex, qhi: jnp.ndarray, qlo: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -229,6 +358,9 @@ def sparse_conv(
     n, cin = feat.shape
     k = weight.shape[0]
     cout = weight.shape[2]
+    # mixed precision: run the MXU in the feature dtype (bf16 x bf16 -> f32
+    # accumulate via preferred_element_type); params stay f32 outside
+    weight = weight.astype(feat.dtype)
     feat_pad = jnp.concatenate([feat, jnp.zeros((1, cin), feat.dtype)], axis=0)
 
     if k * cin <= im2col_max_width:
@@ -252,5 +384,5 @@ def sparse_conv(
         out, _ = jax.lax.scan(body, init, (kmap.neighbor_idx.T, weight))
     out = out.astype(feat.dtype)
     if bias is not None:
-        out = out + bias
+        out = out + bias.astype(feat.dtype)
     return out

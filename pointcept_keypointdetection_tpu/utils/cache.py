@@ -28,7 +28,7 @@ def shared_dict(name: str, data: Optional[Dict[str, np.ndarray]] = None) -> Dict
     path = _path(name)
     if data is not None:
         os.makedirs(CACHE_ROOT, exist_ok=True)
-        tmp = path + f".tmp{os.getpid()}"
+        tmp = path + f".tmp{os.getpid()}.npz"  # np.savez appends .npz if missing
         np.savez(tmp, **data)
         os.replace(tmp, path)
         return data

@@ -203,3 +203,28 @@ def test_kernel_map_methods_agree(rng):
     a = build_kernel_map(index, jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid), spec, 8, method="sortmerge")
     b = build_kernel_map(index, jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid), spec, 8, method="bsearch")
     np.testing.assert_array_equal(np.asarray(a.neighbor_idx), np.asarray(b.neighbor_idx))
+    h = build_kernel_map(index, jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid), spec, 8, method="hash")
+    np.testing.assert_array_equal(np.asarray(h.neighbor_idx), np.asarray(b.neighbor_idx))
+
+
+def test_kernel_map_hash_parity_large(rng):
+    """Hash-table kernel map vs the bsearch oracle on a realistic voxel cloud
+    (multi-batch, k=3 and k=5, invalid padding)."""
+    n = 8192
+    coords = rng.integers(0, 40, (n, 3)).astype(np.int32)
+    batch = np.sort(rng.integers(0, 4, n)).astype(np.int32)
+    valid = rng.random(n) > 0.15
+    _, first = np.unique(
+        batch.astype(np.int64) * 10**9 + coords[:, 0] * 10**6 + coords[:, 1] * 10**3 + coords[:, 2],
+        return_index=True,
+    )
+    keep = np.zeros(n, bool)
+    keep[first] = True
+    valid &= keep
+    g, b, v = jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid)
+    index = build_voxel_index(g, b, v)
+    for ksz in (3, 5):
+        spec = SparseConvSpec.cube(ksz)
+        oracle = build_kernel_map(index, g, b, v, spec, method="bsearch")
+        h = build_kernel_map(index, g, b, v, spec, method="hash")
+        np.testing.assert_array_equal(np.asarray(h.neighbor_idx), np.asarray(oracle.neighbor_idx))

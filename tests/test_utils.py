@@ -95,3 +95,27 @@ def test_intersection_and_union_jax_respects_mask():
     i, u, t = intersection_and_union_jax(pred, target, 3, valid_mask=mask)
     np.testing.assert_array_equal(np.asarray(i), [1, 1, 0])
     np.testing.assert_array_equal(np.asarray(t), [1, 2, 0])
+
+
+def test_dataset_shared_cache(tmp_path, monkeypatch):
+    """DefaultDataset(cache=True) round-trips samples through the /dev/shm
+    cache (parity: `datasets/defaults.py:105-116` + DataCacheOperator)."""
+    from pointcept_keypointdetection_tpu.datasets.defaults import DefaultDataset
+    from pointcept_keypointdetection_tpu.utils import cache as shm_cache
+
+    monkeypatch.setattr(shm_cache, "CACHE_ROOT", str(tmp_path / "shm"))
+    root = tmp_path / "data" / "train" / "scene0"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    coord = rng.normal(size=(50, 3)).astype(np.float64)
+    seg = rng.integers(0, 5, 50)
+    np.save(root / "coord.npy", coord)
+    np.save(root / "segment.npy", seg)
+
+    ds = DefaultDataset(split="train", data_root=str(tmp_path / "data"), cache=True)
+    first = ds.get_data(0)
+    assert shm_cache.exists(f"pkt-{ds.data_list[0].replace(os.path.sep, '-')}")
+    second = ds.get_data(0)
+    np.testing.assert_allclose(second["coord"], first["coord"])
+    np.testing.assert_array_equal(second["segment"], first["segment"])
+    assert second["name"] == "scene0"

@@ -1,0 +1,219 @@
+"""Micro-profiles of forward-pass building blocks on the live backend.
+
+Times candidate optimizations before committing to them (PERF.md levers):
+f32 vs bf16 dense/MLP compute, kernel-map methods, attention variants.
+
+Timing protocol matches bench.py: salt the input so calls can't be
+deduplicated, fetch a scalar to force completion, steady-state =
+(t(n_large) - t(n_small)) / (n_large - n_small).
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _enable_compile_cache():
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def timed(fn, args, n_small=3, n_large=13):
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    float(fn(*args, jnp.float32(0.0)))
+    compile_s = time.perf_counter() - t0
+
+    def run(n, base):
+        t0 = time.perf_counter()
+        outs = [fn(*args, jnp.float32(base + 1e-6 * i)) for i in range(n)]
+        float(outs[-1])
+        return time.perf_counter() - t0
+
+    ts = run(n_small, 1.0)
+    tl = run(n_large, 2.0)
+    return (tl - ts) / (n_large - n_small), compile_s
+
+
+def main():
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from pointcept_keypointdetection_tpu.ops.sparse import (
+        SparseConvSpec,
+        build_kernel_map,
+        build_voxel_index,
+        sparse_conv,
+    )
+
+    which = set(sys.argv[1:]) or {"dense", "kmap", "conv", "ln"}
+    N = 102_400
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(0, 8.0, (N, 3)).astype(np.float32)
+    grid_np = np.floor(coords / 0.02).astype(np.int32)
+    valid_np = np.zeros((N,), bool)
+    _, first = np.unique(
+        grid_np[:, 0].astype(np.int64) * 10**8 + grid_np[:, 1] * 10**4 + grid_np[:, 2],
+        return_index=True,
+    )
+    valid_np[first[: min(len(first), N - 64)]] = True
+    grid = jnp.asarray(grid_np)
+    valid = jnp.asarray(valid_np)
+    batch = jnp.zeros((N,), jnp.int32)
+
+    if "dense" in which:
+        # MLP block: LN + Dense(c->4c) + gelu + Dense(4c->c), f32 vs bf16 compute
+        for c in (32, 64):
+            for dt in (jnp.float32, jnp.bfloat16):
+                x = jnp.asarray(rng.normal(size=(N, c)), dt)
+                w1 = jnp.asarray(rng.normal(size=(c, 4 * c)) * 0.05, jnp.float32)
+                w2 = jnp.asarray(rng.normal(size=(4 * c, c)) * 0.05, jnp.float32)
+
+                @jax.jit
+                def mlp_f32w(x, w1, w2, salt):
+                    y = x + salt.astype(x.dtype)
+                    h = jax.nn.gelu(y @ w1)
+                    return jnp.sum((h @ w2).astype(jnp.float32))
+
+                @jax.jit
+                def mlp_castw(x, w1, w2, salt):
+                    y = x + salt.astype(x.dtype)
+                    h = jax.nn.gelu(y @ w1.astype(x.dtype))
+                    return jnp.sum((h @ w2.astype(x.dtype)).astype(jnp.float32))
+
+                for name, f in (("promote-w", mlp_f32w), ("cast-w", mlp_castw)):
+                    per, comp = timed(f, (x, w1, w2))
+                    print(f"mlp c={c} {dt.__name__:9s} {name}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+    if "ln" in which:
+        for c in (32, 512):
+            for dt in (jnp.float32, jnp.bfloat16):
+                x = jnp.asarray(rng.normal(size=(N, c)), dt)
+
+                @jax.jit
+                def ln(x, salt):
+                    y = (x + salt.astype(x.dtype)).astype(jnp.float32)
+                    m = jnp.mean(y, axis=-1, keepdims=True)
+                    v = jnp.mean(jnp.square(y - m), axis=-1, keepdims=True)
+                    return jnp.sum((y - m) * jax.lax.rsqrt(v + 1e-5))
+
+                per, comp = timed(ln, (x,))
+                print(f"layernorm c={c} {dt.__name__:9s}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+    if "kmap" in which:
+        index = build_voxel_index(grid, batch, valid)
+        spec = SparseConvSpec.cube(3)
+        for method in ("bsearch", "hash"):
+            try:
+                @jax.jit
+                def km(grid, batch, valid, salt):
+                    g = grid + salt.astype(jnp.int32) * 0
+                    m = build_kernel_map(index, g, batch, valid, spec, method=method)
+                    return jnp.sum(m.neighbor_idx.astype(jnp.float32))
+
+                per, comp = timed(km, (grid, batch, valid))
+                print(f"kmap k3 {method}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+            except Exception as e:
+                print(f"kmap k3 {method}: FAILED {type(e).__name__}: {e}", flush=True)
+
+    if "attn" in which:
+        from pointcept_keypointdetection_tpu.ops.attention import patch_attention_xla
+
+        # stage shapes of the bench PTv3 (102k pts, slot_divisors 1,4,16,64,128)
+        for n_s, c, h in ((102_400, 32, 2), (25_600, 64, 4), (6_400, 128, 8), (1_664, 256, 16)):
+            d = c // h
+            for dt in (jnp.float32, jnp.bfloat16):
+                qkv = jnp.asarray(rng.normal(size=(n_s, 3, h, d)), dt)
+                vm = jnp.asarray(np.ones((n_s,), bool))
+
+                @jax.jit
+                def att(qkv, vm, salt):
+                    q = qkv + salt.astype(qkv.dtype)
+                    out = patch_attention_xla(q, vm, 128, d**-0.5, 256 if n_s >= 32768 else 0)
+                    return jnp.sum(out.astype(jnp.float32))
+
+                per, comp = timed(att, (qkv, vm))
+                print(f"attn n={n_s} c={c} h={h} {dt.__name__:9s}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+    if "serial" in which:
+        from pointcept_keypointdetection_tpu.models.structure import PointBatch
+
+        pt = PointBatch(
+            coord=jnp.asarray(coords),
+            feat=jnp.asarray(rng.normal(size=(N, 6)), jnp.bfloat16),
+            grid_coord=grid,
+            valid=valid,
+            num_samples=1,
+        )
+
+        @jax.jit
+        def ser(g, salt):
+            p = pt.replace(grid_coord=g + salt.astype(jnp.int32) * 0)
+            p = p.serialize()
+            return jnp.sum(p.serialized_order.astype(jnp.float32))
+
+        per, comp = timed(ser, (grid,))
+        print(f"serialize 4 orders @102k: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+    if "pool" in which:
+        from pointcept_keypointdetection_tpu.ops.voxelize import slotted_unique
+        from pointcept_keypointdetection_tpu.ops.codes import code_or_batch as _cob
+        from pointcept_keypointdetection_tpu.ops.serialization import z_order_encode as _ze
+        from pointcept_keypointdetection_tpu.ops.segment import segment_reduce
+
+        @jax.jit
+        def pool(g, x, salt):
+            code = _cob(_ze(g >> 1, 16), batch, 16)
+            su = slotted_unique(code, valid, batch, 1, 25_600)
+            y = x + salt.astype(x.dtype)
+            return jnp.sum(segment_reduce(y, su.parent_row, 25_600, "max").astype(jnp.float32))
+
+        x = jnp.asarray(rng.normal(size=(N, 64)), jnp.bfloat16)
+        per, comp = timed(pool, (grid, x))
+        print(f"pool(unique+segmax) 102k->25.6k c64: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+    if "gather" in which:
+        for c in (32, 64, 96):
+            for dt in (jnp.float32, jnp.bfloat16):
+                x = jnp.asarray(rng.normal(size=(N, c)), dt)
+                idx = jnp.asarray(rng.permutation(N).astype(np.int32))
+
+                @jax.jit
+                def gat(x, idx, salt):
+                    y = x + salt.astype(x.dtype)
+                    return jnp.sum(jnp.take(y, idx, axis=0).astype(jnp.float32))
+
+                per, comp = timed(gat, (x, idx))
+                print(f"gather perm [102k,{c}] {dt.__name__:9s}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+    if "conv" in which:
+        index = build_voxel_index(grid, batch, valid)
+        spec = SparseConvSpec.cube(3)
+        kmap = jax.jit(lambda: build_kernel_map(index, grid, batch, valid, spec))()
+        for c in (32, 64):
+            for dt in (jnp.float32, jnp.bfloat16):
+                x = jnp.asarray(rng.normal(size=(N, c)), dt)
+                w = jnp.asarray(rng.normal(size=(27, c, c)) * 0.05, jnp.float32)
+
+                @jax.jit
+                def conv(x, w, salt):
+                    y = x + salt.astype(x.dtype)
+                    return jnp.sum(sparse_conv(y, kmap, w).astype(jnp.float32))
+
+                per, comp = timed(conv, (x, w))
+                print(f"subm conv k3 c={c} {dt.__name__:9s}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

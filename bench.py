@@ -52,16 +52,18 @@ def main():
 
     from pointcept_keypointdetection_tpu.models import MODELS, PointBatch
 
-    B, S = 1, 102_400
+    B = int(os.environ.get("PKT_BENCH_B", "1"))  # scenes per forward (batched inference)
+    S = 102_400
     rng = np.random.default_rng(0)
     coords = rng.uniform(0, 8.0, (B, S, 3)).astype(np.float32)
     grid = np.floor(coords / 0.02).astype(np.int32)
     valid = np.zeros((B, S), bool)
-    _, first = np.unique(
-        grid[0, :, 0].astype(np.int64) * 10**8 + grid[0, :, 1] * 10**4 + grid[0, :, 2],
-        return_index=True,
-    )
-    valid[0, first[: min(len(first), S - 64)]] = True
+    for b in range(B):
+        _, first = np.unique(
+            grid[b, :, 0].astype(np.int64) * 10**8 + grid[b, :, 1] * 10**4 + grid[b, :, 2],
+            return_index=True,
+        )
+        valid[b, first[: min(len(first), S - 64)]] = True
     feat = rng.normal(size=(B, S, 6)).astype(np.float32)
     feat[~valid] = 0
 

@@ -42,7 +42,7 @@ def build_optimizer(
     """
     cfg = dict(cfg)
     opt_type = cfg.pop("type")
-    cfg.pop("lr", None)
+    base_lr = cfg.pop("lr", None)
     param_dicts = cfg.pop("param_dicts", None)
     freeze_all_except = cfg.pop("freeze_all_except", None)
     kwargs = {}
@@ -64,7 +64,12 @@ def build_optimizer(
     if param_dicts:
         groups = {"default": _base_opt(opt_type, lr_schedule, **kwargs)}
         for i, group in enumerate(param_dicts):
-            scale = group.get("lr_scale", 1.0)
+            # reference configs give absolute per-group `lr` (optimizer.py:21-57);
+            # convert to a scale on the shared schedule
+            if "lr" in group and base_lr:
+                scale = group["lr"] / base_lr
+            else:
+                scale = group.get("lr_scale", 1.0)
             g_kwargs = dict(kwargs)
             if "weight_decay" in group:
                 g_kwargs["weight_decay"] = group["weight_decay"]

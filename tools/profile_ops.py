@@ -114,7 +114,7 @@ def main():
     if "kmap" in which:
         index = build_voxel_index(grid, batch, valid)
         spec = SparseConvSpec.cube(3)
-        for method in ("bsearch", "hash"):
+        for method in ("bsearch", "hash", "sortmerge"):
             try:
                 @jax.jit
                 def km(grid, batch, valid, salt):

@@ -4,11 +4,12 @@ _base_ = ["./semseg-spunet-v1m1-0-base.py"]
 
 model = dict(
     _delete_=True,
-    type="DefaultSegmentor",
+    type="DefaultSegmentorV2",
+    num_classes=20,
+    backbone_out_channels=32,
     backbone=dict(
         type="PT-v1",
         in_channels=6,
-        num_classes=20,
         planes=(32, 64, 128, 256, 512),
         blocks=(2, 3, 4, 6, 3),
         strides=(1, 4, 4, 4, 4),

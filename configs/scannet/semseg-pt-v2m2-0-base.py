@@ -4,11 +4,12 @@ _base_ = ["./semseg-spunet-v1m1-0-base.py"]
 
 model = dict(
     _delete_=True,
-    type="DefaultSegmentor",
+    type="DefaultSegmentorV2",
+    num_classes=20,
+    backbone_out_channels=48,
     backbone=dict(
         type="PT-v2m2",
         in_channels=6,
-        num_classes=20,
         patch_embed_depth=1,
         patch_embed_channels=48,
         patch_embed_groups=6,

@@ -149,6 +149,8 @@ class Block(nn.Module):
     attn_impl: str = "auto"
     lora_rank: int = 0
     cpe_bottleneck: int = 0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
 
     @nn.compact
     def __call__(self, point: PointBatch, kmap, train: bool, order_index=0, drop_path=None):
@@ -166,6 +168,8 @@ class Block(nn.Module):
             self.channels,
             self.num_heads,
             self.patch_size,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
             attn_impl=self.attn_impl,
             lora_rank=self.lora_rank,
             name="attn",
@@ -198,6 +202,8 @@ class BlockStack(nn.Module):
     attn_impl: str = "auto"
     lora_rank: int = 0
     cpe_bottleneck: int = 0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
 
     @nn.compact
     def __call__(self, point: PointBatch, kmap, train: bool, dp_rates):
@@ -222,7 +228,8 @@ class BlockStack(nn.Module):
         block = Block(
             self.channels, self.num_heads, self.patch_size, self.mlp_ratio,
             attn_impl=self.attn_impl, lora_rank=self.lora_rank,
-            cpe_bottleneck=self.cpe_bottleneck, name="blocks",
+            cpe_bottleneck=self.cpe_bottleneck, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, name="blocks",
         )
         (point, _), _ = scan(block, (point, kmap), (order_idx, rates))
         return point
@@ -299,6 +306,8 @@ class PointTransformerV3(nn.Module):
     dec_num_head: Sequence[int] = (4, 4, 8, 16)
     dec_patch_size: Sequence[int] = (48, 48, 48, 48)
     mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
     drop_path: float = 0.3
     shuffle_orders: bool = True
     enc_mode: bool = False
@@ -389,6 +398,7 @@ class PointTransformerV3(nn.Module):
                     depth, self.enc_channels[s], self.enc_num_head[s],
                     self.enc_patch_size[s], self.mlp_ratio, self.attn_impl,
                     lora_rank=self.lora_rank, cpe_bottleneck=self.cpe_bottleneck,
+                    qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                     name=f"enc{s}_blocks",
                 )(x, kmap, train, dp_rates[blk : blk + depth])
                 blk += depth
@@ -403,6 +413,8 @@ class PointTransformerV3(nn.Module):
                         attn_impl=self.attn_impl,
                         lora_rank=self.lora_rank,
                         cpe_bottleneck=self.cpe_bottleneck,
+                        qkv_bias=self.qkv_bias,
+                        qk_scale=self.qk_scale,
                         name=f"enc{s}_block{i}",
                     )(x, kmap, train, order_index=i)
                     blk += 1
@@ -432,6 +444,7 @@ class PointTransformerV3(nn.Module):
                     depth, self.dec_channels[s], self.dec_num_head[s],
                     self.dec_patch_size[s], self.mlp_ratio, self.attn_impl,
                     lora_rank=self.lora_rank, cpe_bottleneck=self.cpe_bottleneck,
+                    qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
                     name=f"dec{s}_blocks",
                 )(x, kmap, train, dp_rates[blk : blk + depth])
                 blk += depth
@@ -446,6 +459,8 @@ class PointTransformerV3(nn.Module):
                         attn_impl=self.attn_impl,
                         lora_rank=self.lora_rank,
                         cpe_bottleneck=self.cpe_bottleneck,
+                        qkv_bias=self.qkv_bias,
+                        qk_scale=self.qk_scale,
                         name=f"dec{s}_block{i}",
                     )(x, kmap, train, order_index=i)
                     blk += 1

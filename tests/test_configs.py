@@ -20,3 +20,9 @@ def test_config_parses(path):
     cfg = Config.fromfile(path)
     if "model" in cfg:
         assert cfg.model.type in MODELS, cfg.model.type
+        # constructing the flax dataclasses catches bad kwargs without init
+        MODELS.build(dict(cfg.model))
+        for key in ("backbone", "backbone_conf"):
+            sub = cfg.model.get(key)
+            if isinstance(sub, dict) and "type" in sub:
+                MODELS.build(dict(sub))

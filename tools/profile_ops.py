@@ -202,17 +202,17 @@ def main():
         spec = SparseConvSpec.cube(3)
         kmap = jax.jit(lambda: build_kernel_map(index, grid, batch, valid, spec))()
         for c in (32, 64):
-            for dt in (jnp.float32, jnp.bfloat16):
-                x = jnp.asarray(rng.normal(size=(N, c)), dt)
+            for path, width in (("im2col", 4096), ("scan", 1)):
+                x = jnp.asarray(rng.normal(size=(N, c)), jnp.bfloat16)
                 w = jnp.asarray(rng.normal(size=(27, c, c)) * 0.05, jnp.float32)
 
                 @jax.jit
                 def conv(x, w, salt):
                     y = x + salt.astype(x.dtype)
-                    return jnp.sum(sparse_conv(y, kmap, w).astype(jnp.float32))
+                    return jnp.sum(sparse_conv(y, kmap, w, im2col_max_width=width).astype(jnp.float32))
 
                 per, comp = timed(conv, (x, w))
-                print(f"subm conv k3 c={c} {dt.__name__:9s}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+                print(f"subm conv k3 c={c} bf16 {path}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
 
 
 if __name__ == "__main__":

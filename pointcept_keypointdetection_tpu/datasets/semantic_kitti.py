@@ -162,3 +162,133 @@ class SemanticKITTIDataset:
 
     def __len__(self):
         return len(self.data_list) * self.loop
+
+
+@DATASETS.register_module()
+class SemanticKITTIColorNormalDataset(SemanticKITTIDataset):
+    """SemanticKITTI with radial pseudo-normals + color placeholders.
+
+    Parity surface: `pointcept/datasets/semantic_kitti.py:154-185`
+    (SemanticKITTIColorNormalDataset) — normals are the unit ray from the
+    sensor center (cheap stand-in for o3d estimation), color/normal output
+    slots are zero placeholders filled by downstream transforms."""
+
+    @staticmethod
+    def estimate_normals(points, center=np.array([0.0, 0.0, 0.0])):
+        normals = points - center[None, :]
+        norms = np.linalg.norm(normals, axis=1, keepdims=True)
+        return normals / np.maximum(norms, 1e-9)
+
+    def get_data(self, idx):
+        data_dict = super().get_data(idx)
+        coord = data_dict["coord"]
+        data_dict["normal"] = self.estimate_normals(coord).astype(np.float32)
+        data_dict["color"] = np.zeros_like(coord)
+        return data_dict
+
+
+def parse_calib_file(filepath):
+    """KITTI calib.txt -> dict of matrices (P0..P3 3x4, Tr 3x4).
+
+    Parity: `semantic_kitti.py:262-281`."""
+    calib = {}
+    with open(filepath) as f:
+        for line in f.read().strip().split("\n"):
+            if ":" not in line:
+                continue
+            key, values_str = line.split(":", 1)
+            values = np.fromstring(values_str, dtype=np.float64, sep=" ")
+            if values.size == 12:
+                calib[key.strip()] = values.reshape(3, 4)
+            elif values.size == 9:
+                calib[key.strip()] = values.reshape(3, 3)
+            else:
+                calib[key.strip()] = values
+    return calib
+
+
+def project_lidar_to_image(coord, img_hw, cam_proj, lidar_to_cam):
+    """Project lidar points through Tr then P; return (u, v) int pixel coords
+    (-1 where the point misses the image) and the hit mask.
+
+    Parity: `semantic_kitti.py:210-259` project_lidar_to_image_with_color."""
+    n = coord.shape[0]
+    uv = np.full((n, 2), -1, np.int32)
+    hom = np.concatenate([coord, np.ones((n, 1))], axis=1)  # [N, 4]
+    cam = (lidar_to_cam @ hom.T).T  # [N, 3] (Tr is 3x4)
+    in_front = cam[:, 2] > 0
+    cam_h = np.concatenate([cam, np.ones((n, 1))], axis=1)
+    pts2d = (cam_proj @ cam_h.T).T  # P is 3x4 -> [N, 3]
+    pts2d = pts2d[:, :2] / np.maximum(pts2d[:, 2:3], 1e-9)
+    h, w = img_hw
+    inside = in_front & (pts2d[:, 0] >= 0) & (pts2d[:, 0] < w) & (pts2d[:, 1] >= 0) & (pts2d[:, 1] < h)
+    uv[inside] = pts2d[inside].astype(np.int32)
+    return uv, inside
+
+
+@DATASETS.register_module()
+class SemanticKITTIImagePointDataset(SemanticKITTIDataset):
+    """SemanticKITTI scans paired with camera frames + point->pixel
+    correspondences, for joint 2D-3D SSL (Concerto on KITTI).
+
+    Parity surface: `pointcept/datasets/semantic_kitti.py:188-430`
+    (SemanticKITTIImagePointDataset): parses calib.txt, projects the scan into
+    image_2/image_3, paints point colors from the pixels, and emits the same
+    static-shape contract as ``ImagePointDataset``: ``images``
+    [V, 3, patch_h*ps, patch_w*ps], ``correspondence`` [N, V, 2] (pixel coords
+    in the resized frame, -1 = miss), ``img_valid`` [V]."""
+
+    CAMERA_TYPES = (2, 3)
+
+    def __init__(self, patch_size=14, patch_h=22, patch_w=74, max_images=2, **kwargs):
+        self.patch_size = patch_size
+        self.patch_h = patch_h
+        self.patch_w = patch_w
+        self.max_images = max_images
+        super().__init__(**kwargs)
+
+    def get_data(self, idx):
+        from PIL import Image
+
+        data_dict = super().get_data(idx)
+        bin_path = self.data_list[idx % len(self.data_list)]
+        coord = data_dict["coord"]
+        n = coord.shape[0]
+        th, tw = self.patch_h * self.patch_size, self.patch_w * self.patch_size
+
+        images = np.zeros((self.max_images, 3, th, tw), np.float32)
+        corr = np.full((n, self.max_images, 2), -1, np.int32)
+        img_valid = np.zeros(self.max_images, bool)
+        color = np.zeros((n, 3), np.float32)
+
+        calib_path = os.path.join(os.path.dirname(os.path.dirname(bin_path)), "calib.txt")
+        if os.path.exists(calib_path):
+            calib = parse_calib_file(calib_path)
+            for slot, cam in enumerate(self.CAMERA_TYPES[: self.max_images]):
+                img_path = bin_path.replace("velodyne", f"image_{cam}").replace(".bin", ".png")
+                if not os.path.exists(img_path) or f"P{cam}" not in calib:
+                    continue
+                img = Image.open(img_path).convert("RGB")
+                w0, h0 = img.size
+                uv, hit = project_lidar_to_image(coord, (h0, w0), calib[f"P{cam}"], calib["Tr"])
+                arr = np.asarray(img, np.float32) / 255.0
+                color[hit] = arr[uv[hit, 1], uv[hit, 0]]
+                # center-crop to the patch grid then resize to the target
+                div = max(min(w0 // self.patch_w, h0 // self.patch_h), 1)
+                ch, cw = div * self.patch_h, div * self.patch_w
+                top, left = (h0 - ch) // 2, (w0 - cw) // 2
+                img_c = img.crop((left, top, left + cw, top + ch)).resize((tw, th))
+                images[slot] = (np.asarray(img_c, np.float32) / 255.0).transpose(2, 0, 1)
+                img_valid[slot] = True
+                # correspondences in resized-frame pixels
+                inside_crop = hit & (uv[:, 0] >= left) & (uv[:, 0] < left + cw) & (uv[:, 1] >= top) & (uv[:, 1] < top + ch)
+                u = ((uv[inside_crop, 0] - left) * (tw / cw)).astype(np.int32)
+                v = ((uv[inside_crop, 1] - top) * (th / ch)).astype(np.int32)
+                corr[inside_crop, slot, 0] = np.clip(u, 0, tw - 1)
+                corr[inside_crop, slot, 1] = np.clip(v, 0, th - 1)
+
+        data_dict["color"] = color
+        data_dict["images"] = images
+        data_dict["correspondence"] = corr
+        data_dict["img_valid"] = img_valid
+        return data_dict

@@ -51,25 +51,61 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
                 else:
                     out[name] = np.frombuffer(f.read(count * dtype.itemsize), dtype=dtype)
             else:
-                # assume a single list property (face element)
-                lp = next(p for p in props if p[0] == "list")
+                # element with a list property, possibly mixed with scalars
+                # (e.g. Matterport3D region faces: vertex_indices + category_id).
+                # Assume constant list arity (triangle meshes), peeked from the
+                # first row, so the whole element has one fixed row dtype.
                 if fmt == "ascii":
-                    rows = []
+                    rows = {p[3] if p[0] == "list" else p[0]: [] for p in props}
                     for _ in range(count):
                         vals = f.readline().split()
-                        k = int(vals[0])
-                        rows.append([int(v) for v in vals[1 : 1 + k]])
-                    out[name] = np.array(rows)
+                        i = 0
+                        for p in props:
+                            if p[0] == "list":
+                                k = int(vals[i])
+                                rows[p[3]].append([float(v) for v in vals[i + 1 : i + 1 + k]])
+                                i += 1 + k
+                            else:
+                                rows[p[0]].append(float(vals[i]))
+                                i += 1
+                    main_list = next(p[3] for p in props if p[0] == "list")
+                    if len(props) == 1:
+                        out[name] = np.array(rows[main_list], np.int64)
+                    else:
+                        out[name] = {
+                            k: np.array(v, np.int64 if k == main_list else np.float64)
+                            for k, v in rows.items()
+                        }
                 else:
-                    count_t = np.dtype("<" + lp[1])
-                    item_t = np.dtype("<" + lp[2])
-                    # peek first count to get arity (ScanNet faces are triangles)
+                    # peek the first list count to fix the arity
                     pos = f.tell()
-                    k = int(np.frombuffer(f.read(count_t.itemsize), count_t)[0])
+                    pre = 0
+                    for p in props:
+                        if p[0] == "list":
+                            count_t = np.dtype("<" + p[1])
+                            f.seek(pos + pre)
+                            k = int(np.frombuffer(f.read(count_t.itemsize), count_t)[0])
+                            break
+                        pre += np.dtype("<" + p[1]).itemsize
                     f.seek(pos)
-                    row = np.dtype([("n", count_t), ("v", item_t, (k,))])
+                    fields = []
+                    main_list = None
+                    for p in props:
+                        if p[0] == "list":
+                            fields.append(("_n_" + p[3], "<" + p[1]))
+                            fields.append((p[3], "<" + p[2], (k,)))
+                            main_list = p[3]
+                        else:
+                            fields.append((p[0], "<" + p[1]))
+                    row = np.dtype(fields)
                     data = np.frombuffer(f.read(count * row.itemsize), dtype=row)
-                    out[name] = data["v"]
+                    if len(props) == 1:
+                        out[name] = data[main_list]
+                    else:
+                        out[name] = {
+                            p[3] if p[0] == "list" else p[0]: data[p[3] if p[0] == "list" else p[0]]
+                            for p in props
+                        }
         return out
 
 

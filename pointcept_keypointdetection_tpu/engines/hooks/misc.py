@@ -67,6 +67,7 @@ class InformationWriter(HookBase):
         self.log_interval = log_interval
         self.logger = None
         self.tb = None
+        self.wandb = None
 
     def before_train(self):
         self.logger = get_root_logger()
@@ -77,6 +78,23 @@ class InformationWriter(HookBase):
                 self.tb = SummaryWriter(os.path.join(self.trainer.cfg.save_path, "tb"))
             except ImportError:
                 self.logger.warning("tensorboardX unavailable; TB logging disabled")
+        if self.trainer.cfg.get("enable_wandb"):
+            # parity: `engines/train.py:271-280` wandb init with project/name
+            # derived from save_path
+            try:
+                import wandb
+
+                save_path = self.trainer.cfg.get("save_path") or "exp/default/run"
+                parts = os.path.normpath(save_path).split(os.path.sep)
+                if self.trainer.cfg.get("wandb_key"):
+                    wandb.login(key=self.trainer.cfg["wandb_key"])
+                self.wandb = wandb.init(
+                    project=self.trainer.cfg.get("wandb_project") or parts[-2],
+                    name=parts[-1],
+                    config=dict(self.trainer.cfg),
+                )
+            except ImportError:
+                self.logger.warning("wandb unavailable; wandb logging disabled")
 
     def after_step(self):
         trainer = self.trainer
@@ -87,10 +105,14 @@ class InformationWriter(HookBase):
             trainer.storage.put_scalar(f"train_batch/{key}", v)
             if self.tb is not None:
                 self.tb.add_scalar(f"train_batch/{key}", v, step)
+            if self.wandb is not None:
+                self.wandb.log({f"train_batch/{key}": v}, step=step)
         if "lr" in trainer.comm_info:
             trainer.storage.put_scalar("lr", trainer.comm_info["lr"])
             if self.tb is not None:
                 self.tb.add_scalar("params/lr", trainer.comm_info["lr"], step)
+            if self.wandb is not None:
+                self.wandb.log({"params/lr": trainer.comm_info["lr"]}, step=step)
 
         i = trainer.comm_info.get("iter", 0)
         if (i + 1) % self.log_interval != 0:
@@ -128,6 +150,8 @@ class InformationWriter(HookBase):
     def after_train(self):
         if self.tb is not None:
             self.tb.close()
+        if self.wandb is not None:
+            self.wandb.finish()
 
 
 @HOOKS.register_module()

@@ -75,3 +75,175 @@ def test_scannet_preprocess_scene(tmp_path, rng):
     assert set(np.unique(seg)) <= {-1, 0, 1, 19}
     inst = np.load(out / "instance.npy")
     assert set(np.unique(inst)) == {0, 1}
+
+
+def test_chunking(tmp_path, rng):
+    from pointcept_keypointdetection_tpu.datasets.preprocessing.chunking import chunking_scene
+
+    scene = tmp_path / "train" / "sceneX"
+    scene.mkdir(parents=True)
+    coord = rng.uniform(0, 12, (30000, 3)).astype(np.float32)
+    seg = rng.integers(0, 5, 30000).astype(np.int32)
+    np.save(scene / "coord.npy", coord)
+    np.save(scene / "segment.npy", seg)
+    n = chunking_scene("sceneX", str(tmp_path), "train", chunk_range=(6, 6),
+                       chunk_stride=(3, 3), chunk_minimum_size=100)
+    assert n > 1
+    out_split = tmp_path / "train_chunk6x6_stride3x3"
+    chunks = sorted(out_split.iterdir())
+    assert len(chunks) == n
+    c0 = np.load(chunks[0] / "coord.npy")
+    s0 = np.load(chunks[0] / "segment.npy")
+    assert len(c0) == len(s0) >= 100
+    # chunk fits its BEV tile (after min-shift)
+    shifted = coord - coord.min(0)
+    assert c0.shape[1] == 3
+
+
+def _write_mesh_ply(path, coord, color, faces):
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(coord)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        for c, col in zip(coord, color):
+            f.write(f"{c[0]} {c[1]} {c[2]} {col[0]} {col[1]} {col[2]}\n")
+        for face in faces:
+            f.write("3 " + " ".join(str(v) for v in face) + "\n")
+
+
+def test_scannetpp_preprocess(tmp_path, rng):
+    import json
+
+    from pointcept_keypointdetection_tpu.datasets.preprocessing.scannetpp import main as pp_main
+    import sys
+
+    n = 60
+    coord = rng.uniform(0, 2, (n, 3)).astype(np.float32)
+    color = rng.integers(0, 255, (n, 3)).astype(np.uint8)
+    faces = np.stack([np.arange(n - 2), np.arange(1, n - 1), np.arange(2, n)], 1)
+    root = tmp_path / "spp"
+    scans = root / "data" / "sc0" / "scans"
+    scans.mkdir(parents=True)
+    _write_mesh_ply(scans / "mesh_aligned_0.05.ply", coord, color, faces)
+    # every vertex its own segment; two instances covering halves
+    json.dump({"segIndices": list(range(n))}, open(scans / "segments.json", "w"))
+    json.dump(
+        {"segGroups": [
+            {"label": "wall", "objectId": 1, "segments": list(range(n // 2))},
+            {"label": "sofa chair", "objectId": 2, "segments": list(range(n // 2, n))},
+        ]},
+        open(scans / "segments_anno.json", "w"),
+    )
+    (root / "splits").mkdir()
+    (root / "splits" / "nvs_sem_train.txt").write_text("sc0\n")
+    (root / "splits" / "nvs_sem_val.txt").write_text("")
+    (root / "splits" / "sem_test.txt").write_text("")
+    meta = root / "metadata" / "semantic_benchmark"
+    meta.mkdir(parents=True)
+    (meta / "top100.txt").write_text("wall\nchair\n")
+    (meta / "map_benchmark.csv").write_text(
+        "class,semantic_map_to,instance_map_to\nwall,,\nsofa chair,chair,chair\n"
+    )
+
+    out = tmp_path / "out"
+    argv = sys.argv
+    sys.argv = ["x", "--dataset_root", str(root), "--output_root", str(out), "--num_workers", "1"]
+    try:
+        pp_main()
+    finally:
+        sys.argv = argv
+
+    scene_out = out / "train" / "sc0"
+    seg = np.load(scene_out / "segment.npy")
+    inst = np.load(scene_out / "instance.npy")
+    normal = np.load(scene_out / "normal.npy")
+    assert seg.shape == (n, 3) and inst.shape == (n, 3)
+    assert (seg[: n // 2, 0] == 0).all()  # wall -> class 0
+    assert (seg[n // 2 :, 0] == 1).all()  # sofa chair -> chair -> class 1
+    assert (inst[: n // 2, 0] == 1).all() and (inst[n // 2 :, 0] == 2).all()
+    np.testing.assert_allclose(np.linalg.norm(normal, axis=1), 1.0, atol=1e-5)
+
+
+def test_matterport3d_region(tmp_path, rng):
+    """Region PLY with per-face category_id -> vertex-majority segment."""
+    from pointcept_keypointdetection_tpu.datasets.preprocessing.matterport3d import (
+        MATTERPORT_CLASS_REMAP,
+        handle_region,
+    )
+
+    n = 30
+    coord = rng.normal(size=(n, 3)).astype(np.float32)
+    color = rng.integers(0, 255, (n, 3))
+    faces = np.stack([np.arange(n - 2), np.arange(1, n - 1), np.arange(2, n)], 1)
+    # raw category 5 -> nyu40 2 (floor), raw 7 -> nyu40 40 (otherfurn)
+    cat = np.where(np.arange(len(faces)) < len(faces) // 2, 5, 7)
+    scans = tmp_path / "v1" / "scans" / "SCENE1" / "region_segmentations"
+    scans.mkdir(parents=True)
+    ply_path = scans / "region0.ply"
+    with open(ply_path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {n}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nproperty int category_id\nend_header\n")
+        for c, col in zip(coord, color):
+            f.write(f"{c[0]} {c[1]} {c[2]} {col[0]} {col[1]} {col[2]}\n")
+        for face, cid in zip(faces, cat):
+            f.write("3 " + " ".join(str(v) for v in face) + f" {cid}\n")
+
+    mapping = np.zeros(10, np.int64)
+    mapping[5] = 2   # raw 5 -> nyu floor
+    mapping[7] = 40  # raw 7 -> nyu otherfurniture (allowed? 39 is; 40 is NOT)
+    out = tmp_path / "out"
+    handle_region(str(ply_path), str(out), mapping, {"SCENE1"}, set())
+    seg = np.load(out / "train" / "SCENE1_region0.npy".replace(".npy", "") / "segment.npy")
+    assert seg.shape == (n,)
+    # first vertices voted floor (nyu 2 -> remap 2 -> saved 1 after the -1 shift)
+    assert seg[0] == MATTERPORT_CLASS_REMAP[2] - 1
+    # nyu 40 not in the allowed list -> unlabeled (-1) for the tail vertices
+    assert seg[-1] == -1
+
+
+def test_structured3d_scene(tmp_path, rng):
+    """Tiny zipped pano room -> fused npy scene with 25-class labels."""
+    import io
+    import zipfile
+
+    import cv2
+    from PIL import Image
+
+    from pointcept_keypointdetection_tpu.datasets.preprocessing.structured3d import parse_scene
+
+    h, w = 16, 32
+    depth = np.full((h, w), 2000, np.uint16)  # 2 m everywhere
+    rgb = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    semantic = np.full((h, w), 2, np.uint8)  # floor (nyu 2 -> class idx 1)
+
+    zpath = tmp_path / "Structured3D_00.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        base = "Structured3D/scene_00001/2D_rendering/0/panorama"
+        z.writestr(f"{base}/camera_xyz.txt", "0 0 1600")
+        ok, dbuf = cv2.imencode(".png", depth)
+        assert ok
+        z.writestr(f"{base}/full/depth.png", dbuf.tobytes())
+        ok, cbuf = cv2.imencode(".png", rgb[..., ::-1])
+        z.writestr(f"{base}/full/rgb_rawlight.png", cbuf.tobytes())
+        sbuf = io.BytesIO()
+        Image.fromarray(semantic).save(sbuf, format="PNG")
+        z.writestr(f"{base}/full/semantic.png", sbuf.getvalue())
+
+    out = tmp_path / "out"
+    parse_scene("scene_00001", str(tmp_path), str(out), fuse_prsp=False, fuse_pano=True)
+    scene_dir = out / "train" / "scene_00001_room_0"
+    coord = np.load(scene_dir / "coord.npy")
+    seg = np.load(scene_dir / "segment.npy")
+    assert len(coord) > 100
+    assert (seg == 1).all()  # nyu 2 = floor -> index 1 in the 25-class list
+    # points lie ~2 m from the (swapped-axis) camera center
+    cam = np.array([0, 1.6, 0]) @ np.array([[1, 0, 0], [0, 0, 1], [0, 1, 0]])
+    d = np.linalg.norm(coord - cam, axis=1)
+    np.testing.assert_allclose(d, 2.0, atol=0.1)

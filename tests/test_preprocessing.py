@@ -247,3 +247,20 @@ def test_structured3d_scene(tmp_path, rng):
     cam = np.array([0, 1.6, 0]) @ np.array([[1, 0, 0], [0, 0, 1], [0, 1, 0]])
     d = np.linalg.norm(coord - cam, axis=1)
     np.testing.assert_allclose(d, 2.0, atol=0.1)
+
+
+def test_arkitscenes_mesh(tmp_path, rng):
+    from pointcept_keypointdetection_tpu.datasets.preprocessing.arkitscenes import parse_scene
+
+    n = 40
+    coord = rng.normal(size=(n, 3)).astype(np.float32)
+    color = rng.integers(0, 255, (n, 3))
+    faces = np.stack([np.arange(n - 2), np.arange(1, n - 1), np.arange(2, n)], 1)
+    scene = tmp_path / "3dod" / "Training" / "41048190"
+    scene.mkdir(parents=True)
+    _write_mesh_ply(scene / "41048190_3dod_mesh.ply", coord, color, faces)
+    out = tmp_path / "out"
+    parse_scene(str(scene / "41048190_3dod_mesh.ply"), str(out))
+    normal = np.load(out / "Training" / "41048190" / "normal.npy")
+    np.testing.assert_allclose(np.linalg.norm(normal, axis=1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.load(out / "Training" / "41048190" / "coord.npy"), coord, rtol=1e-6)

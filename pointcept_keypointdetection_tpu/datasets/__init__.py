@@ -7,6 +7,7 @@ from . import keypoint_dataset  # noqa: F401
 from . import pigseg  # noqa: F401
 from . import synthetic  # noqa: F401
 from . import scannet  # noqa: F401
+from . import scannet_pair  # noqa: F401
 from . import semantic_kitti  # noqa: F401
 from . import modelnet  # noqa: F401
 from . import outdoor  # noqa: F401

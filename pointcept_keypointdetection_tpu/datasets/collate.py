@@ -36,8 +36,9 @@ PER_SAMPLE_KEYS = ("keypoint", "category", "scale", "centroid", "condition", "we
 _PAD_VALUES = {"segment": -1, "instance": -1, "correspondence": -1}
 
 # multi-view SSL groups: view{i}_ (ContrastiveViewsGenerator), global{i}_ /
-# local{i}_ (MultiViewGenerator — Concerto/Sonata multi-crop)
-_VIEW_PREFIX = re.compile(r"^(view|global|local)\d+_")
+# local{i}_ (MultiViewGenerator — Concerto/Sonata multi-crop); dino_ is the
+# side point cloud carrying 2D DINO features (DINOEnhancedSegmentor)
+_VIEW_PREFIX = re.compile(r"^(view|global|local)\d+_|^dino_")
 
 
 def _view_prefix(key: str) -> Optional[str]:

@@ -21,7 +21,12 @@ from ..utils.logger import get_root_logger
 from .builder import DATASETS
 from .transform import TRANSFORMS, Compose
 
-VALID_ASSETS = ("coord", "color", "normal", "strength", "segment", "instance", "pose")
+VALID_ASSETS = (
+    "coord", "color", "normal", "strength", "segment", "instance", "pose",
+    # side point cloud carrying lifted 2D DINO features (DINOEnhancedSegmentor;
+    # written by datasets/preprocessing/dino.py)
+    "dino_coord", "dino_feat",
+)
 
 
 @DATASETS.register_module()
@@ -111,6 +116,10 @@ class DefaultDataset:
             data_dict["segment"] = np.ones(data_dict["coord"].shape[0], np.int32) * -1
         if "instance" in data_dict:
             data_dict["instance"] = data_dict["instance"].reshape(-1).astype(np.int32)
+        if "dino_coord" in data_dict:
+            data_dict["dino_coord"] = data_dict["dino_coord"].astype(np.float32)
+        if "dino_feat" in data_dict:
+            data_dict["dino_feat"] = data_dict["dino_feat"].astype(np.float32)
         return data_dict
 
     def get_data_name(self, idx):
@@ -128,6 +137,10 @@ class DefaultDataset:
             result_dict["origin_segment"] = data_dict.pop("origin_segment")
         if "inverse" in data_dict:
             result_dict["inverse"] = data_dict.pop("inverse")
+        for key in ("dino_coord", "dino_feat"):
+            # scene-level side arrays shared by every fragment (DINOSemSegTester)
+            if key in data_dict:
+                result_dict[key] = data_dict.pop(key)
 
         data_dict_list = []
         for aug in self.aug_transform:

@@ -115,3 +115,28 @@ class Matterport3DDataset(DefaultDataset):
 @DATASETS.register_module()
 class HM3DDataset(DefaultDataset):
     """Habitat-Matterport 3D (parity: `pointcept/datasets/hm3d.py`) — SSL corpus."""
+
+
+@DATASETS.register_module()
+class AEODataset(DefaultDataset):
+    """AEO egocentric dataset (parity: `pointcept/datasets/aeo.py:17-30`):
+    remaps the 41 raw NYU-style labels onto 16 learning classes, all others
+    to ignore."""
+
+    class_names = tuple(f"class{i}" for i in range(16))
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+        label_mapping = np.full(41, -1, np.int32)
+        label_mapping[[0, 1, 3, 4, 13, 16, 19, 21, 22, 28, 29, 34, 36, 37, 38, 39]] = (
+            np.arange(16, dtype=np.int32)
+        )
+        self.label_mapping = label_mapping
+
+    def get_data(self, idx):
+        data_dict = super().get_data(idx)
+        seg = data_dict["segment"]
+        data_dict["segment"] = np.where(
+            (seg >= 0) & (seg < len(self.label_mapping)), self.label_mapping[np.clip(seg, 0, 40)], -1
+        ).astype(np.int32)
+        return data_dict

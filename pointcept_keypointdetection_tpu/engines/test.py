@@ -119,10 +119,11 @@ class SemSegTester(TesterBase):
         super().__init__(cfg, **kwargs)
 
     def probe_sample(self):
+        backbone = self.cfg.model.get("backbone") or {}
         frag = {
             "coord": np.zeros((4, 3), np.float32),
             "grid_coord": np.zeros((4, 3), np.int32),
-            "feat": np.zeros((4, self.cfg.model.backbone.in_channels), np.float32),
+            "feat": np.zeros((4, backbone.get("in_channels", 3)), np.float32),
             "segment": np.zeros((4,), np.int32),
         }
         return collate([_pad_fragment(frag, self.fragment_capacity)], self.fragment_capacity)
@@ -137,6 +138,10 @@ class SemSegTester(TesterBase):
             return probs
 
         self._forward = jax.jit(forward)
+
+    def scene_batch_extras(self, data_dict: Dict) -> Dict:
+        """Scene-level arrays merged into every fragment batch (DINO etc.)."""
+        return {}
 
     def test(self):
         assert self.test_dataset.test_mode
@@ -157,6 +162,7 @@ class SemSegTester(TesterBase):
             fragment_list = data_dict.pop("fragment_list")
             segment = data_dict.pop("segment")
             name = data_dict.pop("name")
+            extras = self.scene_batch_extras(data_dict)
             pred = np.zeros((segment.size, K), np.float32)
 
             for frag in fragment_list:
@@ -168,6 +174,7 @@ class SemSegTester(TesterBase):
                     )
                 padded = _pad_fragment(frag, self.fragment_capacity)
                 batch = collate([padded], self.fragment_capacity)
+                batch.update(extras)
                 probs = np.asarray(self._forward(self.variables, sample_to_device(batch)))
                 m = min(n, self.fragment_capacity)
                 pred[index[:m]] += probs[:m]
@@ -208,6 +215,45 @@ class SemSegTester(TesterBase):
             logger.info(f"Class_{c} Result: iou/accuracy {iou_class[c]:.4f}/{acc_class[c]:.4f}")
         logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
         return dict(mIoU=m_iou, mAcc=m_acc, allAcc=all_acc)
+
+
+@TESTERS.register_module()
+class DINOSemSegTester(SemSegTester):
+    """SemSegTester variant feeding scene-level DINO side arrays into every
+    fragment forward (parity: `engines/test.py:361-604`).
+
+    The scene's ``dino_coord``/``dino_feat`` are padded once to
+    ``dino_capacity`` and merged into each fragment batch; the model knn-lifts
+    them per point (``DINOEnhancedSegmentor``).
+    """
+
+    def __init__(self, cfg, dino_capacity=None, **kwargs):
+        self.dino_capacity = dino_capacity or cfg.get("dino_capacity", 65536)
+        super().__init__(cfg, **kwargs)
+
+    def probe_sample(self):
+        sample = super().probe_sample()
+        sample.update(self._pad_dino(np.zeros((4, 3), np.float32),
+                                     np.zeros((4, self.cfg.model.get("dino_channels", 384)), np.float32)))
+        return sample
+
+    def _pad_dino(self, dino_coord, dino_feat):
+        m = dino_coord.shape[0]
+        cap = self.dino_capacity
+        if m > cap:
+            sel = np.random.choice(m, cap, replace=False)
+            dino_coord, dino_feat = dino_coord[sel], dino_feat[sel]
+            m = cap
+        valid = np.zeros(cap, bool)
+        valid[:m] = True
+        return {
+            "dino_coord": np.pad(dino_coord, ((0, cap - m), (0, 0))).astype(np.float32),
+            "dino_feat": np.pad(dino_feat, ((0, cap - m), (0, 0))).astype(np.float32),
+            "dino_valid": valid,
+        }
+
+    def scene_batch_extras(self, data_dict):
+        return self._pad_dino(data_dict["dino_coord"], data_dict["dino_feat"])
 
 
 @TESTERS.register_module()

@@ -10,11 +10,13 @@ mirroring the reference's output-dict contract.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.knn import knn
 from ..ops.segment import segment_mean
 from .builder import MODELS, build_model
 from .losses import build_criteria
@@ -89,6 +91,58 @@ class DefaultSegmentorV2(nn.Module):
     @nn.compact
     def __call__(self, point: PointBatch, batch: Dict[str, jnp.ndarray], train: bool = False):
         feat = build_model(dict(self.backbone))(point, train=train)
+        logits = nn.Dense(self.num_classes, name="seg_head")(feat)
+        out = {"seg_logits": logits}
+        if "segment" in batch and len(self.criteria) > 0:
+            crit = build_criteria([dict(c) for c in self.criteria])
+            out["loss"] = crit(logits, batch["segment"], valid=point.valid)
+        return out
+
+
+@MODELS.register_module()
+class DINOEnhancedSegmentor(nn.Module):
+    """Segmentor augmented with knn-matched 2D DINO features.
+
+    Mirrors `pointcept/models/default.py:206-288`: an optional (freezable) 3D
+    backbone produces per-point features; each point additionally receives the
+    feature of its nearest neighbour in a side "DINO point cloud"
+    (``dino_coord``/``dino_feat`` lifted from posed RGB frames); the seg head
+    runs on the concatenation.  The reference's ``torch_cluster.knn`` becomes
+    the chunked MXU knn in ``ops/knn.py`` with per-sample batch masking.
+    """
+
+    backbone: Optional[Dict[str, Any]] = None
+    num_classes: int = 20
+    backbone_out_channels: int = 64
+    criteria: Sequence[Dict[str, Any]] = ()
+    freeze_backbone: bool = False
+
+    @nn.compact
+    def __call__(self, point: PointBatch, batch: Dict[str, jnp.ndarray], train: bool = False):
+        feats = []
+        if self.backbone is not None:
+            feat = build_model(dict(self.backbone))(point, train=train and not self.freeze_backbone)
+            if self.freeze_backbone:
+                feat = jax.lax.stop_gradient(feat)
+            feats.append(feat)
+
+        dino_coord = batch["dino_coord"]  # [M, 3] padded slots
+        dino_feat = batch["dino_feat"]  # [M, C]
+        dino_valid = batch.get("dino_valid")
+        m = dino_coord.shape[0]
+        dino_batch = (
+            jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) // (m // point.num_samples)
+        ).reshape(m)
+        idx, _ = knn(
+            point.coord,
+            dino_coord,
+            k=1,
+            query_batch=point.batch,
+            base_batch=dino_batch,
+            base_valid=dino_valid,
+        )
+        feats.append(dino_feat[idx[:, 0]])
+        feat = jnp.concatenate(feats, axis=-1)
         logits = nn.Dense(self.num_classes, name="seg_head")(feat)
         out = {"seg_logits": logits}
         if "segment" in batch and len(self.criteria) > 0:

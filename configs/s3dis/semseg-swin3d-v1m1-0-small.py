@@ -1,0 +1,15 @@
+_base_ = ["../scannet/semseg-swin3d-v1m1-0-small.py"]
+# Swin3D-S on S3DIS (reference configs/s3dis/semseg-swin3d-v1m1-0-small.py)
+
+num_classes = 13
+model = dict(num_classes=13)
+data = dict(
+    num_classes=13,
+    train=dict(
+        type="S3DISDataset",
+        split=("Area_1", "Area_2", "Area_3", "Area_4", "Area_6"),
+        data_root="data/s3dis",
+    ),
+    val=dict(type="S3DISDataset", split="Area_5", data_root="data/s3dis"),
+    test=dict(type="S3DISDataset", split="Area_5", data_root="data/s3dis"),
+)

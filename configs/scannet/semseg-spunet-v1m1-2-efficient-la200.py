@@ -1,0 +1,7 @@
+_base_ = ["./semseg-spunet-v1m1-0-base.py"]
+# Data-efficient ScanNet: limited annotations (200 labeled points per scene;
+# reference configs/scannet/semseg-spunet-v1m1-2-efficient-la200.py)
+
+data = dict(
+    train=dict(la_file="data/scannet/tasks/points/points200.npy"),
+)

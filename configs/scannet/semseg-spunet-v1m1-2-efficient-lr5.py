@@ -1,0 +1,7 @@
+_base_ = ["./semseg-spunet-v1m1-0-base.py"]
+# Data-efficient ScanNet: limited reconstructions (5% of scenes;
+# reference configs/scannet/semseg-spunet-v1m1-2-efficient-lr5.py)
+
+data = dict(
+    train=dict(lr_file="data/scannet/tasks/scenes/scene5.txt"),
+)

@@ -1,0 +1,5 @@
+_base_ = ["./semseg-spunet-v1m1-0-base.py"]
+# MinkUNet34C on ScanNet200 (reference
+# configs/scannet200/semseg-minkunet34c-0-base.py); same topology as SpUNet.
+
+model = dict(backbone=dict(type="MinkUNet34C"))

@@ -1,0 +1,4 @@
+_base_ = ["./semseg-pt-v2m2-0-base.py"]
+# PTv2 "origin" on ScanNet200 (reference configs/scannet200/semseg-pt-v2m1-0-base.py)
+
+model = dict(backbone=dict(type="PT-v2m1"))

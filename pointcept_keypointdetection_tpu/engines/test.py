@@ -185,7 +185,19 @@ class SemSegTester(TesterBase):
                 segment = data_dict["origin_segment"]
             np.save(os.path.join(save_path, f"{name}_pred.npy"), seg_pred)
             if self.cfg.get("save_submit"):
-                write_submission(self.cfg.data.test.type, save_path, name, seg_pred)
+                if "ScanNetPP" in self.cfg.data.test.type:
+                    # ScanNet++ benchmark wants the top-3 predictions per
+                    # vertex (parity: `engines/test.py:216-223`)
+                    top3 = np.argsort(-pred, axis=1)[:, :3]
+                    if "inverse" in data_dict:
+                        top3 = top3[data_dict["inverse"]]
+                    out_dir = os.path.join(save_path, "submit")
+                    make_dirs(out_dir)
+                    np.savetxt(
+                        os.path.join(out_dir, f"{name}.txt"), top3, fmt="%d", delimiter=","
+                    )
+                else:
+                    write_submission(self.cfg.data.test.type, save_path, name, seg_pred)
 
             inter, union, target = intersection_and_union(seg_pred, segment, K, self.ignore_index)
             inter_sum += inter

@@ -53,6 +53,11 @@ def match_views(origin1, valid1, origin2, valid2, batch, num_matches: int, slot:
 
 
 @MODELS.register_module("MSC-v1m1")
+# v1m2 = CSC (Contrastive Scene Contexts, `masked_scene_contrast_v1m2_csc.py`):
+# negatives are partitioned into spatial bins around each anchor (z up/down x
+# inner/outer radius) and the InfoNCE is averaged per partition — set
+# ``partitions=4`` to enable.
+@MODELS.register_module("MSC-v1m2")
 class MaskedSceneContrast(nn.Module):
     backbone: Dict[str, Any]
     backbone_in_channels: int = 6
@@ -65,6 +70,11 @@ class MaskedSceneContrast(nn.Module):
     mask_rate: float = 0.4
     num_matches: int = 4096
     mask_grid: int = 8  # voxel super-cube size for patch masking
+    # CSC (v1m2): number of scene-context partitions (0 = plain InfoNCE);
+    # 4 = z up/down x within/beyond ``partition_radius`` of the anchor
+    # (`masked_scene_contrast_v1m2_csc.py:182-200,241-252`)
+    partitions: int = 0
+    partition_radius: float = 2.0
 
     @nn.compact
     def __call__(self, point: PointBatch, batch: Dict[str, jnp.ndarray], train: bool = False):
@@ -121,10 +131,29 @@ class MaskedSceneContrast(nn.Module):
         logits = jnp.einsum("mc,nc->mn", q, k, preferred_element_type=jnp.float32) / self.nce_t
         logits = jnp.where(mvalid[None, :], logits, -1e9)
         labels = jnp.arange(self.num_matches)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
         w = mvalid.astype(jnp.float32)
-        contrast_loss = jnp.sum(nce * w) / jnp.maximum(jnp.sum(w), 1.0)
+        if self.partitions > 0:
+            # CSC: negatives binned by scene context relative to the anchor —
+            # z above/below x inside/outside partition_radius; the positive
+            # (diagonal) joins every partition's softmax, losses averaged.
+            c1 = jnp.take(v1.coord, idx1, axis=0)  # anchors  [M, 3]
+            c2 = jnp.take(v2.coord, idx2, axis=0)  # keys     [M, 3]
+            rel = c2[None, :, :] - c1[:, None, :]
+            up = rel[..., 2] >= 0
+            inner = jnp.sum(jnp.square(rel), axis=-1) <= self.partition_radius**2
+            part = jnp.where(inner, 0, 2) + jnp.where(up, 0, 1)  # [M, M] in 0..3
+            diag = jnp.eye(self.num_matches, dtype=bool)
+            contrast_loss = jnp.zeros((), jnp.float32)
+            for p in range(self.partitions):
+                lp = jnp.where((part == p) | diag, logits, -1e9)
+                logp = jax.nn.log_softmax(lp, axis=-1)
+                nce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+                contrast_loss = contrast_loss + jnp.sum(nce * w) / jnp.maximum(jnp.sum(w), 1.0)
+            contrast_loss = contrast_loss / self.partitions
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+            contrast_loss = jnp.sum(nce * w) / jnp.maximum(jnp.sum(w), 1.0)
 
         out = {"contrast_loss": contrast_loss}
         loss = self.contrast_weight * contrast_loss

@@ -24,6 +24,9 @@ from .structure import PointBatch
 
 
 @MODELS.register_module("PG-v1m1")
+# v1m2 (`point_group_v1m2_ptv3.py`) is the same dual-decode clustering with a
+# PTv3 backbone — the backbone here is config-driven, so one class covers both.
+@MODELS.register_module("PG-v1m2")
 class PointGroup(nn.Module):
     backbone: Dict[str, Any]
     criteria: Sequence[Dict[str, Any]] = (dict(type="CrossEntropyLoss"),)

@@ -133,3 +133,123 @@ class PointPromptTraining(nn.Module):
             crit = build_criteria([dict(c) for c in self.criteria])
             out["loss"] = crit(logits, batch["segment"], valid=point.valid)
         return out
+
+
+@MODELS.register_module("PPT-v1m1")
+# v1m3 ("neo", `point_prompt_training_v1m3_neo.py`) is the same language-
+# guided alignment with per-dataset class-name lists instead of a shared
+# vocabulary — covered here by omitting ``valid_index`` (each condition then
+# owns a contiguous slice of the embedding table sized by ``num_classes``).
+@MODELS.register_module("PPT-v1m3")
+class LanguageGuidedPPT(nn.Module):
+    """Language-driven categorical alignment multi-dataset segmentor.
+
+    Parity surface: `point_prompt_training_v1m1_language_guided.py:18-120` —
+    a shared class vocabulary is embedded in a text space; per-point features
+    are projected into that space and classified by scaled cosine similarity
+    against the embeddings of the classes valid for the sample's dataset
+    (``valid_index``).  The reference obtains the embeddings from a frozen
+    CLIP text encoder at init; CLIP is not part of this image, so the table is
+    either loaded from ``class_embedding_path`` (a [num_names, embed_dim] .npy
+    exported offline from any text encoder) and kept frozen, or — when no path
+    is given — learned end-to-end (language-free fallback with identical
+    alignment machinery).
+    """
+
+    backbone: Dict[str, Any]
+    criteria: Sequence[Dict[str, Any]] = ()
+    conditions: Sequence[str] = ("Structured3D", "ScanNet", "S3DIS")
+    # unified vocabulary; only the length matters when embeddings are learned
+    class_name: Sequence[str] = ()
+    # per-condition indices into class_name; None -> contiguous slices sized
+    # by num_classes (v1m3 semantics)
+    valid_index: Any = None
+    num_classes: Sequence[int] = (25, 20, 13)
+    context_channels: int = 256
+    backbone_out_channels: int = 96
+    embed_dim: int = 512
+    class_embedding_path: Any = None
+    backbone_mode: bool = False
+
+    def _valid_index(self):
+        if self.valid_index is not None:
+            return [tuple(v) for v in self.valid_index]
+        out, start = [], 0
+        for k in self.num_classes:
+            out.append(tuple(range(start, start + k)))
+            start += k
+        return out
+
+    @nn.compact
+    def __call__(self, point: PointBatch, batch: Dict[str, jnp.ndarray], train: bool = False):
+        M = len(self.conditions)
+        valid_index = self._valid_index()
+        num_names = len(self.class_name) if len(self.class_name) else (
+            max(max(v) for v in valid_index) + 1
+        )
+
+        cond_per_sample = batch.get(
+            "condition", jnp.zeros((point.num_samples,), jnp.int32)
+        ).reshape(-1).astype(jnp.int32)
+        cond = jnp.repeat(cond_per_sample, point.slot_size)  # [N]
+
+        # data-driven context: condition embedding prompts the stem (and the
+        # PDNorm sites when the backbone supports them)
+        embed = self.param(
+            "condition_embedding", nn.initializers.normal(0.02), (M, self.context_channels), jnp.float32
+        )
+        context = jnp.take(embed, jnp.clip(cond, 0, M - 1), axis=0)
+
+        bb_cfg = dict(self.backbone)
+        bb = build_model(bb_cfg)
+        if bb_cfg.get("pdnorm_conditions"):
+            feat = bb(point, train=train, condition=cond_per_sample)
+        else:
+            stem_ctx = nn.Dense(point.feat.shape[-1], name="context_proj")(context)
+            point = point.replace(feat=point.feat + stem_ctx.astype(point.feat.dtype))
+            feat = bb(point, train=train)
+
+        if self.backbone_mode:
+            return feat
+
+        # class embedding table (frozen text embeddings or learned)
+        if self.class_embedding_path is not None:
+            import numpy as _np
+
+            table = jnp.asarray(_np.load(self.class_embedding_path), jnp.float32)
+            assert table.shape[0] == num_names, (table.shape, num_names)
+        else:
+            table = self.param(
+                "class_embedding",
+                nn.initializers.normal(0.02),
+                (num_names, self.embed_dim),
+                jnp.float32,
+            )
+        table = table / jnp.maximum(jnp.linalg.norm(table, axis=-1, keepdims=True), 1e-6)
+
+        proj = nn.Dense(table.shape[1], name="proj_head")(feat)
+        proj = proj / jnp.maximum(jnp.linalg.norm(proj, axis=-1, keepdims=True), 1e-6)
+        logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(jnp.log(1.0 / 0.07)), (), jnp.float32
+        )
+        sim = proj @ table.T  # [N, num_names]
+
+        # per-condition class selection, padded to the widest dataset
+        max_k = max(len(v) for v in valid_index)
+        sel_rows = []
+        for v in valid_index:
+            idx = list(v) + [0] * (max_k - len(v))
+            gathered = sim[:, jnp.asarray(idx, jnp.int32)]
+            pad_mask = jnp.arange(max_k) < len(v)
+            sel_rows.append(jnp.where(pad_mask[None, :], gathered, -1e9))
+        logits = jnp.stack(sel_rows, axis=1)  # [N, M, max_k]
+        logits = jnp.take_along_axis(
+            logits, jnp.clip(cond, 0, M - 1)[:, None, None].repeat(max_k, axis=2), axis=1
+        )[:, 0]
+        logits = jnp.exp(logit_scale) * logits
+
+        out = {"seg_logits": logits}
+        if "segment" in batch and len(self.criteria) > 0:
+            crit = build_criteria([dict(c) for c in self.criteria])
+            out["loss"] = crit(logits, batch["segment"], valid=point.valid)
+        return out

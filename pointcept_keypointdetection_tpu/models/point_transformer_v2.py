@@ -191,6 +191,9 @@ class UnpoolWithSkip(nn.Module):
 
 
 @MODELS.register_module("PT-v2m2")
+# v1m1 ("origin") is the same grouped-vector-attention design with minor
+# recipe differences (`point_transformer_v2m1_origin.py`); one implementation.
+@MODELS.register_module("PT-v2m1")
 class PointTransformerV2(nn.Module):
     in_channels: int = 6
     patch_embed_depth: int = 1

@@ -89,6 +89,9 @@ class SerializedAttention(nn.Module):
     qk_scale: Optional[float] = None
     attn_impl: str = "auto"  # auto | xla | pallas
     lora_rank: int = 0  # LoRA adapters on qkv (DefaultLORASegmentorV2 parity)
+    # learned relative-position bias over clamped per-axis grid offsets
+    # (reference RPE, `point_transformer_v3m1_base.py:29-48,190-206`)
+    enable_rpe: bool = False
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool, order_index=0):
@@ -111,16 +114,35 @@ class SerializedAttention(nn.Module):
         qkv_sorted = jnp.take(qkv, order, axis=0).reshape(-1, 3, h, d)
         valid_sorted = jnp.take(point.valid, order, axis=0)
 
+        bias = None
+        if self.enable_rpe:
+            # per-axis clamped relative grid offsets -> learned per-head bias
+            pos_bnd = max(int(round((4 * self.patch_size) ** (1 / 3) * 2)), 1)
+            rpe_num = 2 * pos_bnd + 1
+            table = self.param(
+                "rpe_table",
+                nn.initializers.truncated_normal(0.02),
+                (3 * rpe_num, h),
+                jnp.float32,
+            )
+            g = jnp.take(point.grid_coord, order, axis=0).reshape(-1, self.patch_size, 3)
+            rel = g[:, :, None, :] - g[:, None, :, :]  # [P, K, K, 3]
+            idx = jnp.clip(rel, -pos_bnd, pos_bnd) + pos_bnd + jnp.arange(3) * rpe_num
+            bias = jnp.take(table, idx, axis=0).sum(axis=-2)  # [P, K, K, H]
+            bias = bias.transpose(0, 3, 1, 2)  # [P, H, K, K]
+
         impl = self.attn_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-        if impl == "pallas":
+        if impl == "pallas" and bias is None:
             from ..ops.pallas.patch_attention import patch_attention_pallas
 
             feat = patch_attention_pallas(qkv_sorted, valid_sorted, self.patch_size, scale)
         else:
             chunk = 256 if self.patch_size >= 256 else 0
-            feat = patch_attention_xla(qkv_sorted, valid_sorted, self.patch_size, scale, chunk)
+            feat = patch_attention_xla(
+                qkv_sorted, valid_sorted, self.patch_size, scale, chunk, bias=bias
+            )
         feat = jnp.take(feat, inverse, axis=0)
         feat = nn.Dense(c, dtype=feat.dtype, name="proj")(feat)
         return feat
@@ -151,6 +173,7 @@ class Block(nn.Module):
     cpe_bottleneck: int = 0
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
+    enable_rpe: bool = False
 
     @nn.compact
     def __call__(self, point: PointBatch, kmap, train: bool, order_index=0, drop_path=None):
@@ -172,6 +195,7 @@ class Block(nn.Module):
             qk_scale=self.qk_scale,
             attn_impl=self.attn_impl,
             lora_rank=self.lora_rank,
+            enable_rpe=self.enable_rpe,
             name="attn",
         )(point.replace(feat=normed), train, order_index)
         attn_out = DropPath(name="dp1")(attn_out, point.num_samples, not train, rate=dp_rate)
@@ -204,6 +228,7 @@ class BlockStack(nn.Module):
     cpe_bottleneck: int = 0
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
+    enable_rpe: bool = False
 
     @nn.compact
     def __call__(self, point: PointBatch, kmap, train: bool, dp_rates):
@@ -229,7 +254,7 @@ class BlockStack(nn.Module):
             self.channels, self.num_heads, self.patch_size, self.mlp_ratio,
             attn_impl=self.attn_impl, lora_rank=self.lora_rank,
             cpe_bottleneck=self.cpe_bottleneck, qkv_bias=self.qkv_bias,
-            qk_scale=self.qk_scale, name="blocks",
+            qk_scale=self.qk_scale, enable_rpe=self.enable_rpe, name="blocks",
         )
         (point, _), _ = scan(block, (point, kmap), (order_idx, rates))
         return point
@@ -293,6 +318,10 @@ class SerializedUnpooling(nn.Module):
 
 @MODELS.register_module("PT-v3m1")
 @MODELS.register_module("PT-v3plus")
+# PT-v3m2 (`point_transformer_v3m2_sonata.py`) = encoder-mode PTv3 for SSL:
+# enc_mode + upcast_level are first-class options here, and the mask token
+# lives in the SSL wrappers (models/sonata.py, masked_scene_contrast.py).
+@MODELS.register_module("PT-v3m2")
 class PointTransformerV3(nn.Module):
     in_channels: int = 6
     order: Sequence[str] = ("z", "z-trans", "hilbert", "hilbert-trans")
@@ -321,6 +350,7 @@ class PointTransformerV3(nn.Module):
     stem_kernel: int = 5
     bn_momentum: float = 0.01
     scan_blocks: bool = True  # compile each stage's blocks once via nn.scan
+    enable_rpe: bool = False  # learned relative-position bias in attention
     lora_rank: int = 0  # >0 adds LoRA adapters on every attention qkv
     cpe_kernel_size: int = 3  # xCPE neighborhood (KeypointPTv3Plus uses larger)
     cpe_bottleneck: int = 0  # >0: bottleneck large-kernel xCPE (PTv3Plus)
@@ -399,6 +429,7 @@ class PointTransformerV3(nn.Module):
                     self.enc_patch_size[s], self.mlp_ratio, self.attn_impl,
                     lora_rank=self.lora_rank, cpe_bottleneck=self.cpe_bottleneck,
                     qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                    enable_rpe=self.enable_rpe,
                     name=f"enc{s}_blocks",
                 )(x, kmap, train, dp_rates[blk : blk + depth])
                 blk += depth
@@ -415,6 +446,7 @@ class PointTransformerV3(nn.Module):
                         cpe_bottleneck=self.cpe_bottleneck,
                         qkv_bias=self.qkv_bias,
                         qk_scale=self.qk_scale,
+                        enable_rpe=self.enable_rpe,
                         name=f"enc{s}_block{i}",
                     )(x, kmap, train, order_index=i)
                     blk += 1
@@ -445,6 +477,7 @@ class PointTransformerV3(nn.Module):
                     self.dec_patch_size[s], self.mlp_ratio, self.attn_impl,
                     lora_rank=self.lora_rank, cpe_bottleneck=self.cpe_bottleneck,
                     qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+                    enable_rpe=self.enable_rpe,
                     name=f"dec{s}_blocks",
                 )(x, kmap, train, dp_rates[blk : blk + depth])
                 blk += depth
@@ -461,6 +494,7 @@ class PointTransformerV3(nn.Module):
                         cpe_bottleneck=self.cpe_bottleneck,
                         qkv_bias=self.qkv_bias,
                         qk_scale=self.qk_scale,
+                        enable_rpe=self.enable_rpe,
                         name=f"dec{s}_block{i}",
                     )(x, kmap, train, order_index=i)
                     blk += 1

@@ -55,6 +55,14 @@ class ProjectionHead(nn.Module):
 
 
 @MODELS.register_module("Sonata-v1m1")
+# v1m2 (`sonata_v1m2_uni_teacher_head.py`): the teacher shares the student's
+# projection head instead of owning an EMA copy — set ``uni_head=True``.
+@MODELS.register_module("Sonata-v1m2")
+# v1m3 (`sonata_v1m3_distill.py`): distillation from a FROZEN pretrained
+# teacher — same module; drop ``cfg.ema`` so the trainer never EMA-copies, and
+# load teacher weights via CheckpointLoader keyword rewrite
+# (keywords="backbone.", replacement="teacher_backbone.").
+@MODELS.register_module("Sonata-v1m3")
 class Sonata(nn.Module):
     backbone: Dict[str, Any]
     backbone_in_channels: int = 6
@@ -65,6 +73,7 @@ class Sonata(nn.Module):
     mask_rate: float = 0.5
     mask_grid: int = 8
     num_matches: int = 2048
+    uni_head: bool = False  # v1m2: teacher reuses the student's head
 
     @nn.compact
     def __call__(self, point: PointBatch, batch: Dict[str, jnp.ndarray], train: bool = False):
@@ -102,7 +111,10 @@ class Sonata(nn.Module):
         t_feat = jax.lax.stop_gradient(teacher_bb(v1, train=False))
 
         student_head = ProjectionHead(out=self.proj_dim, name="student_head")
-        teacher_head = ProjectionHead(out=self.proj_dim, name="teacher_head")
+        teacher_head = (
+            student_head if self.uni_head
+            else ProjectionHead(out=self.proj_dim, name="teacher_head")
+        )
         s_proj = student_head(s_feat)
         t_proj = jax.lax.stop_gradient(teacher_head(t_feat))
         prototypes = self.param(

@@ -110,6 +110,9 @@ class StratifiedBlock(nn.Module):
 
 
 @MODELS.register_module("ST-v1m2")
+# v1m1 ("origin") differs from v1m2 ("refined") only in recipe details (KPConv
+# stem vs linear embedding, hyperparameters) — one implementation, both names.
+@MODELS.register_module("ST-v1m1")
 class StratifiedTransformer(nn.Module):
     in_channels: int = 6
     channels: Sequence[int] = (48, 96, 192, 384)

@@ -24,6 +24,7 @@ def patch_attention_xla(
     patch_size: int,
     scale: float,
     chunk_patches: int = 0,
+    bias: "jnp.ndarray | None" = None,  # [P, H, K, K] additive logit bias (RPE)
 ) -> jnp.ndarray:
     """Masked block-diagonal attention. Returns [N, H*D] in serialized order."""
     n, three, h, d = qkv_sorted.shape
@@ -32,7 +33,7 @@ def patch_attention_xla(
     qkv = qkv_sorted.reshape(p, k, 3, h, d)
     vmask = valid_sorted.reshape(p, k)
 
-    def attend(qkv_p, vmask_p):
+    def attend(qkv_p, vmask_p, bias_p=None):
         # qkv_p: [pc, K, 3, H, D]; vmask_p: [pc, K]
         q = qkv_p[:, :, 0].transpose(0, 2, 1, 3)  # [pc, H, K, D]
         kk = qkv_p[:, :, 1].transpose(0, 2, 1, 3)
@@ -40,18 +41,23 @@ def patch_attention_xla(
         logits = jnp.einsum(
             "phkd,phmd->phkm", q * scale, kk, preferred_element_type=jnp.float32
         )
+        if bias_p is not None:
+            logits = logits + bias_p
         logits = jnp.where(vmask_p[:, None, None, :], logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("phkm,phmd->phkd", attn, v, preferred_element_type=jnp.float32)
         return out.transpose(0, 2, 1, 3).reshape(qkv_p.shape[0], k, h * d).astype(qkv_p.dtype)
 
     if chunk_patches and p > chunk_patches and p % chunk_patches == 0:
-        out = jax.lax.map(
-            lambda args: attend(*args),
-            (qkv.reshape(p // chunk_patches, chunk_patches, k, 3, h, d),
-             vmask.reshape(p // chunk_patches, chunk_patches, k)),
+        nc = p // chunk_patches
+        operands = (
+            qkv.reshape(nc, chunk_patches, k, 3, h, d),
+            vmask.reshape(nc, chunk_patches, k),
         )
+        if bias is not None:
+            operands = operands + (bias.reshape(nc, chunk_patches, h, k, k),)
+        out = jax.lax.map(lambda args: attend(*args), operands)
         out = out.reshape(n, h * d)
     else:
-        out = attend(qkv, vmask).reshape(n, h * d)
+        out = attend(qkv, vmask, bias).reshape(n, h * d)
     return out

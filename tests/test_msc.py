@@ -97,3 +97,51 @@ def test_msc_forward_and_learn(rng):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_msc_csc_partitioned_nce(rng):
+    """MSC-v1m2 (CSC): partitioned InfoNCE is finite, differs from the plain
+    loss, and still sees the positive in every partition
+    (`masked_scene_contrast_v1m2_csc.py:182-252`)."""
+    import functools
+
+    sample = _ssl_sample(rng)
+    slot = 512
+    batch_np = collate([pad_sample(sample, slot)], slot)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, (list, int))}
+    point = build_point_batch(batch, 1)
+
+    def build(partitions):
+        return MODELS.build(
+            dict(
+                type="MSC-v1m2" if partitions else "MSC-v1m1",
+                backbone=dict(
+                    type="SpUNet-v1m1",
+                    in_channels=3,
+                    num_classes=0,
+                    base_channels=8,
+                    channels=(8, 16, 16, 16, 16, 16, 8, 8),
+                    layers=(1, 1, 1, 1, 1, 1, 1, 1),
+                    stem_kernel=3,
+                ),
+                backbone_in_channels=3,
+                backbone_out_channels=8,
+                num_matches=128,
+                partitions=partitions,
+                partition_radius=0.5,
+            )
+        )
+
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}
+    losses = {}
+    for parts in (0, 4):
+        model = build(parts)
+        variables = jax.jit(functools.partial(model.init, train=True))(rngs, point, batch)
+        out, _ = model.apply(
+            variables, point, batch, train=True, mutable=["batch_stats"],
+            rngs={"mask": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+        )
+        losses[parts] = float(out["contrast_loss"])
+        assert np.isfinite(losses[parts])
+    # partitioned softmax has fewer negatives per row -> smaller NCE loss
+    assert losses[4] < losses[0]

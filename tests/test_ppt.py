@@ -156,3 +156,89 @@ def test_ppt_backbone_internal_pdnorm(rng):
     s0 = np.asarray(out0["seg_logits"])[: point.slot_size]
     s1 = np.asarray(out1["seg_logits"])[: point.slot_size]
     assert not np.allclose(s0, s1)
+
+
+def test_ppt_language_guided(rng, tmp_path):
+    """PPT-v1m1: cosine-similarity classification against a class-embedding
+    table with per-condition valid_index selection (language-guided alignment,
+    `point_prompt_training_v1m1_language_guided.py`)."""
+    # shared 6-name vocabulary; condition A sees classes {0,2,4}, B {1,3,5,0}
+    emb = rng.normal(size=(6, 16)).astype(np.float32)
+    path = tmp_path / "class_emb.npy"
+    np.save(path, emb)
+    model = MODELS.build(
+        dict(
+            type="PPT-v1m1",
+            conditions=("A", "B"),
+            class_name=("c0", "c1", "c2", "c3", "c4", "c5"),
+            valid_index=((0, 2, 4), (1, 3, 5, 0)),
+            num_classes=(3, 4),
+            context_channels=8,
+            backbone_out_channels=8,
+            class_embedding_path=str(path),
+            backbone=dict(
+                type="SpUNet-v1m1",
+                in_channels=4,
+                num_classes=0,
+                base_channels=8,
+                channels=(8, 16, 16, 16, 16, 16, 8, 8),
+                layers=(1, 1, 1, 1, 1, 1, 1, 1),
+                stem_kernel=3,
+            ),
+            criteria=[dict(type="CrossEntropyLoss")],
+        )
+    )
+    point = _point(rng)
+    batch = {
+        "condition": jnp.asarray([0, 1], jnp.int32),
+        "segment": jnp.asarray(rng.integers(0, 3, 256).astype(np.int32)),
+    }
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(0)}, point, batch
+    )
+    out = model.apply(variables, point, batch, train=False)
+    logits = np.asarray(out["seg_logits"])
+    # padded to the widest dataset (B: 4 classes)
+    assert logits.shape == (256, 4)
+    # condition-A rows only have 3 valid classes; the pad column is -inf-ish
+    assert (logits[:128, 3] < -1e7).all()
+    assert np.isfinite(logits[:, :3]).all()
+    assert np.isfinite(float(out["loss"]))
+    # frozen table: no class_embedding param when a path is given
+    assert "class_embedding" not in variables["params"]
+
+
+def test_ppt_language_guided_learned_table(rng):
+    """PPT-v1m3 semantics: no valid_index -> contiguous per-condition slices;
+    no embedding path -> learnable table."""
+    model = MODELS.build(
+        dict(
+            type="PPT-v1m3",
+            conditions=("A", "B"),
+            num_classes=(3, 4),
+            context_channels=8,
+            backbone_out_channels=8,
+            embed_dim=16,
+            backbone=dict(
+                type="SpUNet-v1m1",
+                in_channels=4,
+                num_classes=0,
+                base_channels=8,
+                channels=(8, 16, 16, 16, 16, 16, 8, 8),
+                layers=(1, 1, 1, 1, 1, 1, 1, 1),
+                stem_kernel=3,
+            ),
+        )
+    )
+    point = _point(rng)
+    batch = {"condition": jnp.asarray([0, 1], jnp.int32)}
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(0)}, point, batch
+    )
+    assert variables["params"]["class_embedding"].shape == (7, 16)
+    out = model.apply(variables, point, batch, train=False)
+    assert np.asarray(out["seg_logits"]).shape == (256, 4)

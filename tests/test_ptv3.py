@@ -276,3 +276,45 @@ def test_ptv3plus_bottleneck_cpe_and_vote_head(rng):
     assert out["votes"].shape == (512, 3, 3)
     assert out["keypoint_pred"].shape == (2, 3, 3)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_ptv3_rpe(rng):
+    """enable_rpe adds a learned relative-position bias to the attention
+    logits (reference RPE, `point_transformer_v3m1_base.py:29-48,190-206`)."""
+    import functools
+
+    model = MODELS.build(dict(BACKBONE, enable_rpe=True))
+    point = make_point_batch(rng)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        {"params": jax.random.PRNGKey(0)}, point
+    )
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    assert any("rpe_table" in "/".join(str(k) for k in path) for path, _ in flat)
+    feat = model.apply(variables, point, train=False)
+    feat = np.asarray(feat)
+    assert np.isfinite(feat[np.asarray(point.valid)]).all()
+
+    # bias actually reaches the logits: zero vs trained-ish table differ
+    import flax
+
+    params = flax.core.unfreeze(variables["params"])
+
+    def scale_rpe(tree, factor):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = scale_rpe(v, factor)
+            elif "rpe_table" in k:
+                # perturb only half the offsets: non-uniform per attention row,
+                # so the change survives softmax shift-invariance
+                bump = (jnp.arange(v.shape[0]) % 2)[:, None].astype(v.dtype)
+                out[k] = v + factor * bump
+            else:
+                out[k] = v
+        return out
+
+    shifted = scale_rpe(params, 1.0)
+    feat2 = np.asarray(
+        model.apply(dict(variables, params=shifted), point, train=False)
+    )
+    assert not np.allclose(feat, feat2)

@@ -72,3 +72,33 @@ def test_sonata_forward_and_ema(rng):
     s_norm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g["student_backbone"]))
     assert t_norm == 0.0
     assert s_norm > 0.0
+
+
+def test_sonata_uni_head_variant(rng):
+    """Sonata-v1m2: the teacher shares the student's projection head — no
+    separate teacher_head params (`sonata_v1m2_uni_teacher_head.py`)."""
+    batch = _ssl_batch(rng)
+    point = build_point_batch(batch, 1)
+    model = MODELS.build(
+        dict(
+            type="Sonata-v1m2",
+            uni_head=True,
+            backbone=dict(
+                type="SpUNet-v1m1", in_channels=3, num_classes=0, base_channels=8,
+                channels=(8, 16, 16, 16, 16, 16, 8, 8), layers=(1,) * 8, stem_kernel=3,
+            ),
+            backbone_in_channels=3,
+            num_prototypes=32,
+            proj_dim=16,
+            num_matches=128,
+        )
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}
+    variables = jax.jit(functools.partial(model.init, train=True))(rngs, point, batch)
+    assert "student_head" in variables["params"]
+    assert "teacher_head" not in variables["params"]
+    out, _ = model.apply(
+        variables, point, batch, train=True, mutable=["batch_stats"],
+        rngs={"mask": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+    )
+    assert np.isfinite(float(out["loss"]))

@@ -1,0 +1,16 @@
+_base_ = ["./semseg-sonata-v1m1-0a-scannet-lin.py"]
+# Sonata linear probe on S3DIS (reference
+# configs/sonata/semseg-sonata-v1m1-3a-s3dis-lin.py)
+
+num_classes = 13
+model = dict(num_classes=13)
+data = dict(
+    num_classes=13,
+    train=dict(
+        type="S3DISDataset",
+        split=("Area_1", "Area_2", "Area_3", "Area_4", "Area_6"),
+        data_root="data/s3dis",
+    ),
+    val=dict(type="S3DISDataset", split="Area_5", data_root="data/s3dis"),
+    test=dict(type="S3DISDataset", split="Area_5", data_root="data/s3dis"),
+)

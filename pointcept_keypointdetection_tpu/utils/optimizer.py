@@ -101,14 +101,20 @@ def label_params(params, param_dicts: Sequence[Dict[str, Any]]):
     return flax.traverse_util.unflatten_dict(labels)
 
 
-def label_params_freeze(params, train_keyword: str):
-    """Label pytree for freeze_all_except: 'train' where the path contains the
-    keyword (e.g. 'lora' or 'seg_head'), 'frozen' otherwise."""
+def label_params_freeze(params, train_keyword):
+    """Label pytree for freeze_all_except: 'train' where the path contains any
+    of the keyword(s) (e.g. 'lora', 'seg_head', or ('dec', 'seg_head') for
+    Sonata-style decoder probes), 'frozen' otherwise."""
     import flax
 
+    keywords = (
+        (train_keyword,) if isinstance(train_keyword, str) else tuple(train_keyword)
+    )
     flat = flax.traverse_util.flatten_dict(params)
     labels = {
-        path: "train" if any(train_keyword in str(p) for p in path) else "frozen"
+        path: "train"
+        if any(kw in str(p) for kw in keywords for p in path)
+        else "frozen"
         for path in flat
     }
     return flax.traverse_util.unflatten_dict(labels)

@@ -119,3 +119,22 @@ def test_dataset_shared_cache(tmp_path, monkeypatch):
     np.testing.assert_allclose(second["coord"], first["coord"])
     np.testing.assert_array_equal(second["segment"], first["segment"])
     assert second["name"] == "scene0"
+
+
+def test_label_params_freeze_multi_keyword():
+    """freeze_all_except accepts a tuple of keywords (decoder probes train
+    dec blocks AND the seg head while the encoder stays frozen)."""
+    from pointcept_keypointdetection_tpu.utils.optimizer import label_params_freeze
+
+    params = {
+        "enc0_blocks": {"w": 1},
+        "dec0_blocks": {"w": 2},
+        "seg_head": {"kernel": 3},
+    }
+    labels = label_params_freeze(params, ("dec", "seg_head"))
+    assert labels["enc0_blocks"]["w"] == "frozen"
+    assert labels["dec0_blocks"]["w"] == "train"
+    assert labels["seg_head"]["kernel"] == "train"
+    labels1 = label_params_freeze(params, "seg_head")
+    assert labels1["dec0_blocks"]["w"] == "frozen"
+    assert labels1["seg_head"]["kernel"] == "train"

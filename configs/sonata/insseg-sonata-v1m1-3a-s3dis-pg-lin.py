@@ -1,0 +1,15 @@
+_base_ = ["./insseg-sonata-v1m1-0a-scannet-pg-lin.py"]
+# PointGroup linear probe over frozen Sonata encoder on s3dis (reference
+# configs/sonata/insseg-sonata-v1m1-3a-s3dis-pg-lin.py)
+
+num_classes = 13
+model = dict(
+    semantic_num_classes=13,
+    segment_ignore_index=(-1,),
+)
+data = dict(
+    num_classes=13,
+    train=dict(type="S3DISDataset"),
+    val=dict(type="S3DISDataset"),
+    test=dict(type="S3DISDataset"),
+)

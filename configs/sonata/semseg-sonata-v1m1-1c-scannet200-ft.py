@@ -1,0 +1,11 @@
+_base_ = ["./semseg-sonata-v1m1-0c-scannet-ft.py"]
+# Sonata ft probe on scannet200 (reference configs/sonata/semseg-sonata-v1m1-1c-scannet200-ft.py)
+
+num_classes = 200
+model = dict(num_classes=200)
+data = dict(
+    num_classes=200,
+    train=dict(type="ScanNet200Dataset"),
+    val=dict(type="ScanNet200Dataset"),
+    test=dict(type="ScanNet200Dataset"),
+)

@@ -328,6 +328,9 @@ def _sortmerge_lookup(index: SortedVoxelIndex, qhi: jnp.ndarray, qlo: jnp.ndarra
     is_target = s_payload < n
     exclude_invalid = is_target & ~((s_hi == jnp.uint32(0xFFFFFFFF)) & (s_lo == jnp.uint32(0xFFFFFFFF)))
 
+    # running last-target tuple scan.  (A single-operand cummax over target
+    # positions + code-recovery gathers was tried and measured 2x SLOWER on
+    # the round-1 backend — random gathers cost more than wide scans here.)
     def combine(a, b):
         fa, ra, ha, la = a
         fb, rb, hb, lb = b

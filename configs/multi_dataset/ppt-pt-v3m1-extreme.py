@@ -18,6 +18,7 @@ model = dict(
         dec_patch_size=(128, 128, 128, 128),
         drop_path=0.3,
         slot_divisors=(1, 4, 16, 32, 64),
+        pdnorm_conditions=2,  # backbone-internal PDNorm (ScanNet, S3DIS)
     ),
     backbone_out_channels=64,
 )

@@ -69,6 +69,31 @@ class LayerNorm(nn.Module):
         return (y * scale + bias).astype(x.dtype)
 
 
+class CondLayerNorm(nn.Module):
+    """Prompt-driven LayerNorm: per-condition scale/bias tables.
+
+    The PDNorm LN half (`prompt_driven_normalization.py:7-47` with an ln
+    factory): one stat computation, decoupled affine parameters gathered by
+    each point's dataset-condition index."""
+
+    features: int
+    num_conditions: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, condition, valid=None):
+        M = self.num_conditions
+        scale = self.param("scale", nn.initializers.ones, (M, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (M, self.features), jnp.float32)
+        cond = jnp.clip(condition, 0, M - 1)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * jnp.take(scale, cond, axis=0) + jnp.take(bias, cond, axis=0)
+        return y.astype(x.dtype)
+
+
 class DropPath(nn.Module):
     """Stochastic depth per point-cloud sample (timm drop_path semantics).
 

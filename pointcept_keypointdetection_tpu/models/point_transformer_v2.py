@@ -35,20 +35,40 @@ from .structure import PointBatch
 _DEPTH = 16
 
 
+
+def _bn_factory(module, c, name, train, pdnorm_conditions):
+    """BN site factory: plain MaskedBatchNorm, or PDNorm per-condition tables
+    when ``pdnorm_conditions > 0`` (the reference PT-v2m3 PDNorm override)."""
+    if pdnorm_conditions > 0:
+        from .point_prompt_training import PDNorm
+
+        pd = PDNorm(c, pdnorm_conditions, eps=1e-5, momentum=0.1, parent=module, name=name)
+        return lambda x, valid, cond: pd(x, valid, cond, use_running_average=not train)
+    mb = MaskedBatchNorm(c, momentum=0.1, eps=1e-5, parent=module, name=name)
+    return lambda x, valid, cond: mb(x, valid, not train)
+
 class GroupedVectorAttention(nn.Module):
     embed_channels: int
     groups: int
     qkv_bias: bool = True
     pe_multiplier: bool = False
     pe_bias: bool = True
+    pdnorm_conditions: int = 0
 
     @nn.compact
-    def __call__(self, feat, coord, nbr_idx, nbr_mask, valid, train: bool):
+    def __call__(self, feat, coord, nbr_idx, nbr_mask, valid, train: bool, cond=None):
         c, g = self.embed_channels, self.groups
+        bn = lambda name, ch: _bn_factory(self, ch, name, train, self.pdnorm_conditions)
+        n = feat.shape[0]
+        s_nbr = nbr_idx.shape[1]
+        cond_flat = (
+            jnp.repeat(cond, s_nbr) if cond is not None else None
+        )
+        ones_flat = jnp.ones(n * s_nbr, bool)
         q = nn.Dense(c, use_bias=self.qkv_bias, name="linear_q")(feat)
-        q = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="bn_q")(q, valid, not train))
+        q = nn.relu(bn("bn_q", c)(q, valid, cond))
         k = nn.Dense(c, use_bias=self.qkv_bias, name="linear_k")(feat)
-        k = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="bn_k")(k, valid, not train))
+        k = nn.relu(bn("bn_k", c)(k, valid, cond))
         v = nn.Dense(c, use_bias=self.qkv_bias, name="linear_v")(feat)
 
         key = jnp.take(k, nbr_idx, axis=0)  # [N, S, C]
@@ -58,23 +78,23 @@ class GroupedVectorAttention(nn.Module):
         relation = key - q[:, None, :]
         if self.pe_multiplier:
             pem = nn.Dense(c, name="pem1")(pos)
-            pem = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="bn_pem")(
-                pem.reshape(-1, c), jnp.ones(pem.size // c, bool), not train
+            pem = nn.relu(bn("bn_pem", c)(
+                pem.reshape(-1, c), ones_flat, cond_flat
             ).reshape(pem.shape))
             pem = nn.Dense(c, name="pem2")(pem)
             relation = relation * pem
         if self.pe_bias:
             peb = nn.Dense(c, name="peb1")(pos)
-            peb = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="bn_peb")(
-                peb.reshape(-1, c), jnp.ones(peb.size // c, bool), not train
+            peb = nn.relu(bn("bn_peb", c)(
+                peb.reshape(-1, c), ones_flat, cond_flat
             ).reshape(peb.shape))
             peb = nn.Dense(c, name="peb2")(peb)
             relation = relation + peb
             value = value + peb
 
         w = nn.Dense(g, name="we1")(relation)
-        w = nn.relu(MaskedBatchNorm(g, momentum=0.1, eps=1e-5, name="bn_we")(
-            w.reshape(-1, g), jnp.ones(w.size // g, bool), not train
+        w = nn.relu(bn("bn_we", g)(
+            w.reshape(-1, g), ones_flat, cond_flat
         ).reshape(w.shape))
         w = nn.Dense(g, name="we2")(w)  # [N, S, G]
         w = jnp.where(nbr_mask[..., None], w, -1e9)
@@ -93,19 +113,22 @@ class Block(nn.Module):
     pe_multiplier: bool = False
     pe_bias: bool = True
     drop_path: float = 0.0
+    pdnorm_conditions: int = 0
 
     @nn.compact
-    def __call__(self, point: PointBatch, nbr_idx, nbr_mask, train: bool):
+    def __call__(self, point: PointBatch, nbr_idx, nbr_mask, train: bool, cond=None):
         c = self.embed_channels
+        bn = lambda name: _bn_factory(self, c, name, train, self.pdnorm_conditions)
         identity = point.feat
         feat = nn.Dense(c, use_bias=False, name="fc1")(point.feat)
-        feat = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="norm1")(feat, point.valid, not train))
+        feat = nn.relu(bn("norm1")(feat, point.valid, cond))
         feat = GroupedVectorAttention(
-            c, self.groups, self.qkv_bias, self.pe_multiplier, self.pe_bias, name="attn"
-        )(feat, point.coord, nbr_idx, nbr_mask, point.valid, train)
-        feat = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="norm2")(feat, point.valid, not train))
+            c, self.groups, self.qkv_bias, self.pe_multiplier, self.pe_bias,
+            pdnorm_conditions=self.pdnorm_conditions, name="attn"
+        )(feat, point.coord, nbr_idx, nbr_mask, point.valid, train, cond)
+        feat = nn.relu(bn("norm2")(feat, point.valid, cond))
         feat = nn.Dense(c, use_bias=False, name="fc3")(feat)
-        feat = MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="norm3")(feat, point.valid, not train)
+        feat = bn("norm3")(feat, point.valid, cond)
         feat = DropPath(self.drop_path, name="dp")(feat, point.num_samples, not train)
         feat = nn.relu(identity + feat)
         return point.replace(feat=feat)
@@ -120,10 +143,16 @@ class BlockSequence(nn.Module):
     pe_multiplier: bool = False
     pe_bias: bool = True
     drop_path: float = 0.0
+    pdnorm_conditions: int = 0
 
     @nn.compact
-    def __call__(self, point: PointBatch, train: bool):
+    def __call__(self, point: PointBatch, train: bool, cond_sample=None):
         batch = point.batch
+        cond = (
+            jnp.take(cond_sample, batch)
+            if self.pdnorm_conditions > 0 and cond_sample is not None
+            else None
+        )
         nbr_idx, sqd = knn(
             point.coord, point.coord, self.neighbours,
             query_batch=batch, base_batch=batch, base_valid=point.valid,
@@ -133,8 +162,9 @@ class BlockSequence(nn.Module):
             point = Block(
                 self.embed_channels, self.groups, self.qkv_bias,
                 self.pe_multiplier, self.pe_bias, self.drop_path,
+                pdnorm_conditions=self.pdnorm_conditions,
                 name=f"block{i}",
-            )(point, nbr_idx, nbr_mask, train)
+            )(point, nbr_idx, nbr_mask, train, cond)
         return point
 
 
@@ -143,9 +173,10 @@ class GridPool(nn.Module):
 
     out_channels: int
     grid_size: float
+    pdnorm_conditions: int = 0
 
     @nn.compact
-    def __call__(self, point: PointBatch, slot_capacity: int, train: bool):
+    def __call__(self, point: PointBatch, slot_capacity: int, train: bool, cond_sample=None):
         batch = point.batch
         # per-sample min coordinate as the grid start
         big = jnp.where(point.valid[:, None], point.coord, jnp.inf)
@@ -158,7 +189,14 @@ class GridPool(nn.Module):
 
         c = self.out_channels
         feat = nn.Dense(c, use_bias=False, name="fc")(point.feat)
-        feat = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="norm")(feat, point.valid, not train))
+        cond = (
+            jnp.take(cond_sample, batch)
+            if self.pdnorm_conditions > 0 and cond_sample is not None
+            else None
+        )
+        feat = nn.relu(
+            _bn_factory(self, c, "norm", train, self.pdnorm_conditions)(feat, point.valid, cond)
+        )
         feat = jnp.where(point.valid[:, None], feat, 0.0)
         pooled_feat = segment_max(feat, su.parent_row, m)
         pooled_coord = segment_mean(point.coord * point.valid[:, None], su.parent_row, m)
@@ -175,15 +213,26 @@ class UnpoolWithSkip(nn.Module):
     """Map-backend unpooling + skip (`:279-330`)."""
 
     out_channels: int
+    pdnorm_conditions: int = 0
 
     @nn.compact
-    def __call__(self, pooled: PointBatch, skip: PointBatch, su, train: bool):
+    def __call__(self, pooled: PointBatch, skip: PointBatch, su, train: bool, cond_sample=None):
         c = self.out_channels
+        pc = (
+            jnp.take(cond_sample, pooled.batch)
+            if self.pdnorm_conditions > 0 and cond_sample is not None
+            else None
+        )
+        sc = (
+            jnp.take(cond_sample, skip.batch)
+            if self.pdnorm_conditions > 0 and cond_sample is not None
+            else None
+        )
         feat = nn.Dense(c, use_bias=False, name="proj")(pooled.feat)
-        feat = nn.relu(MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="norm")(feat, pooled.valid, not train))
+        feat = nn.relu(_bn_factory(self, c, "norm", train, self.pdnorm_conditions)(feat, pooled.valid, pc))
         skip_feat = nn.Dense(c, use_bias=False, name="proj_skip")(skip.feat)
         skip_feat = nn.relu(
-            MaskedBatchNorm(c, momentum=0.1, eps=1e-5, name="norm_skip")(skip_feat, skip.valid, not train)
+            _bn_factory(self, c, "norm_skip", train, self.pdnorm_conditions)(skip_feat, skip.valid, sc)
         )
         pad = jnp.concatenate([feat, jnp.zeros((1, c), feat.dtype)], axis=0)
         prow = jnp.minimum(su.parent_row, feat.shape[0])
@@ -194,6 +243,9 @@ class UnpoolWithSkip(nn.Module):
 # v1m1 ("origin") is the same grouped-vector-attention design with minor
 # recipe differences (`point_transformer_v2m1_origin.py`); one implementation.
 @MODELS.register_module("PT-v2m1")
+# v2m3 (`point_transformer_v2m3_pdnorm.py`) adds backbone-internal PDNorm at
+# every norm site — pass ``pdnorm_conditions`` + forward ``condition``.
+@MODELS.register_module("PT-v2m3")
 class PointTransformerV2(nn.Module):
     in_channels: int = 6
     patch_embed_depth: int = 1
@@ -214,22 +266,35 @@ class PointTransformerV2(nn.Module):
     pe_bias: bool = True
     drop_path_rate: float = 0.3
     slot_divisors: Sequence[int] = (2, 4, 8, 16)
+    pdnorm_conditions: int = 0  # >0: PDNorm at every site (PT-v2m3)
 
     @nn.compact
-    def __call__(self, point: PointBatch, train: bool = False):
+    def __call__(self, point: PointBatch, train: bool = False, condition=None):
         num_stages = len(self.enc_depths)
         slot0 = point.slot_size
+        M = self.pdnorm_conditions
+        if M > 0 and condition is None:
+            condition = jnp.zeros((point.num_samples,), jnp.int32)
+        cond_sample = (
+            jnp.asarray(condition).reshape(-1).astype(jnp.int32) if M > 0 else None
+        )
 
         # patch embed
         c0 = self.patch_embed_channels
         feat = nn.Dense(c0, use_bias=False, name="embed_fc")(point.feat)
-        feat = nn.relu(MaskedBatchNorm(c0, momentum=0.1, eps=1e-5, name="embed_norm")(feat, point.valid, not train))
+        feat = nn.relu(
+            _bn_factory(self, c0, "embed_norm", train, M)(
+                feat, point.valid,
+                jnp.take(cond_sample, point.batch) if M > 0 else None,
+            )
+        )
         point = point.replace(feat=feat)
         point = BlockSequence(
             self.patch_embed_depth, c0, self.patch_embed_groups,
             self.patch_embed_neighbours, self.qkv_bias, self.pe_multiplier, self.pe_bias,
+            pdnorm_conditions=M,
             name="patch_embed",
-        )(point, train)
+        )(point, train, cond_sample)
 
         # encoder: skip[s] = the pre-pool PointBatch of stage s
         skips, sus = [], []
@@ -237,21 +302,28 @@ class PointTransformerV2(nn.Module):
         for s in range(num_stages):
             skips.append(x)
             cap = max(slot0 // self.slot_divisors[s], 16)
-            x, su = GridPool(self.enc_channels[s], self.grid_sizes[s], name=f"enc{s}_pool")(x, cap, train)
+            x, su = GridPool(
+                self.enc_channels[s], self.grid_sizes[s], pdnorm_conditions=M,
+                name=f"enc{s}_pool",
+            )(x, cap, train, cond_sample)
             sus.append(su)
             x = BlockSequence(
                 self.enc_depths[s], self.enc_channels[s], self.enc_groups[s],
                 self.enc_neighbours[s], self.qkv_bias, self.pe_multiplier, self.pe_bias,
                 self.drop_path_rate * s / max(num_stages - 1, 1),
+                pdnorm_conditions=M,
                 name=f"enc{s}",
-            )(x, train)
+            )(x, train, cond_sample)
 
         # decoder
         for s in reversed(range(num_stages)):
-            x = UnpoolWithSkip(self.dec_channels[s], name=f"dec{s}_up")(x, skips[s], sus[s], train)
+            x = UnpoolWithSkip(
+                self.dec_channels[s], pdnorm_conditions=M, name=f"dec{s}_up"
+            )(x, skips[s], sus[s], train, cond_sample)
             x = BlockSequence(
                 self.dec_depths[s], self.dec_channels[s], self.dec_groups[s],
                 self.dec_neighbours[s], self.qkv_bias, self.pe_multiplier, self.pe_bias,
+                pdnorm_conditions=M,
                 name=f"dec{s}",
-            )(x, train)
+            )(x, train, cond_sample)
         return x.feat

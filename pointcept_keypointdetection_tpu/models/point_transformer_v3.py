@@ -28,14 +28,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import patch_attention_xla
+from ..ops.attention import patch_attention_xla, take_permutation
 from ..ops.codes import code_or_batch
 from ..ops.segment import segment_mean, segment_reduce
 from ..ops.serialization import z_order_encode
 from ..ops.sparse import SparseConvSpec, build_kernel_map, build_voxel_index, sparse_conv
 from ..ops.voxelize import slotted_unique
 from .builder import MODELS
-from .norm import DropPath, LayerNorm, MaskedBatchNorm
+from .norm import CondLayerNorm, DropPath, LayerNorm, MaskedBatchNorm
 from .structure import PointBatch
 
 _DEPTH = 16
@@ -111,7 +111,7 @@ class SerializedAttention(nn.Module):
             lora_a = self.param("lora_a", nn.initializers.normal(1.0 / r), (cin, r), jnp.float32)
             lora_b = self.param("lora_b", nn.initializers.zeros, (r, 3 * c), jnp.float32)
             qkv = qkv + (point.feat @ lora_a.astype(point.feat.dtype)) @ lora_b.astype(point.feat.dtype)
-        qkv_sorted = jnp.take(qkv, order, axis=0).reshape(-1, 3, h, d)
+        qkv_sorted = take_permutation(qkv, order, inverse).reshape(-1, 3, h, d)
         valid_sorted = jnp.take(point.valid, order, axis=0)
 
         bias = None
@@ -143,7 +143,7 @@ class SerializedAttention(nn.Module):
             feat = patch_attention_xla(
                 qkv_sorted, valid_sorted, self.patch_size, scale, chunk, bias=bias
             )
-        feat = jnp.take(feat, inverse, axis=0)
+        feat = take_permutation(feat, inverse, order)
         feat = nn.Dense(c, dtype=feat.dtype, name="proj")(feat)
         return feat
 
@@ -174,9 +174,16 @@ class Block(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     enable_rpe: bool = False
+    pdnorm_conditions: int = 0  # >0: per-condition LN tables (PPT PDNorm)
 
     @nn.compact
-    def __call__(self, point: PointBatch, kmap, train: bool, order_index=0, drop_path=None):
+    def __call__(self, point: PointBatch, kmap, train: bool, order_index=0, drop_path=None, cond=None):
+        def make_ln(name):
+            if self.pdnorm_conditions > 0:
+                ln = CondLayerNorm(self.channels, self.pdnorm_conditions, name=name)
+                return lambda x: ln(x, cond)
+            ln = LayerNorm(self.channels, name=name)
+            return ln
         dp_rate = self.drop_path if drop_path is None else drop_path
         # xCPE + residual
         shortcut = point.feat
@@ -186,7 +193,7 @@ class Block(nn.Module):
 
         # attention (pre-norm)
         shortcut = point.feat
-        normed = LayerNorm(self.channels, name="norm1")(point.feat)
+        normed = make_ln("norm1")(point.feat)
         attn_out = SerializedAttention(
             self.channels,
             self.num_heads,
@@ -203,7 +210,7 @@ class Block(nn.Module):
 
         # MLP (pre-norm)
         shortcut = feat
-        normed = LayerNorm(self.channels, name="norm2")(feat)
+        normed = make_ln("norm2")(feat)
         mlp_out = MLP(self.channels, self.mlp_ratio, name="mlp")(normed)
         mlp_out = DropPath(name="dp2")(mlp_out, point.num_samples, not train, rate=dp_rate)
         feat = shortcut + mlp_out
@@ -229,9 +236,10 @@ class BlockStack(nn.Module):
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
     enable_rpe: bool = False
+    pdnorm_conditions: int = 0
 
     @nn.compact
-    def __call__(self, point: PointBatch, kmap, train: bool, dp_rates):
+    def __call__(self, point: PointBatch, kmap, train: bool, dp_rates, cond=None):
         order_idx = jnp.arange(self.depth, dtype=jnp.int32)
         rates = jnp.asarray(dp_rates, jnp.float32)
 
@@ -239,7 +247,7 @@ class BlockStack(nn.Module):
             pt, km = carry
             oi, rate = xs
             in_dtype = pt.feat.dtype
-            pt = block(pt, km, train, oi, rate)
+            pt = block(pt, km, train, oi, rate, cond)
             # keep the carry dtype stable under mixed precision (bf16 feats)
             pt = pt.replace(feat=pt.feat.astype(in_dtype))
             return (pt, km), None
@@ -254,7 +262,8 @@ class BlockStack(nn.Module):
             self.channels, self.num_heads, self.patch_size, self.mlp_ratio,
             attn_impl=self.attn_impl, lora_rank=self.lora_rank,
             cpe_bottleneck=self.cpe_bottleneck, qkv_bias=self.qkv_bias,
-            qk_scale=self.qk_scale, enable_rpe=self.enable_rpe, name="blocks",
+            qk_scale=self.qk_scale, enable_rpe=self.enable_rpe,
+            pdnorm_conditions=self.pdnorm_conditions, name="blocks",
         )
         (point, _), _ = scan(block, (point, kmap), (order_idx, rates))
         return point
@@ -267,9 +276,10 @@ class SerializedPooling(nn.Module):
     stride: int = 2
     reduce: str = "max"
     bn_momentum: float = 0.01
+    pdnorm_conditions: int = 0
 
     @nn.compact
-    def __call__(self, point: PointBatch, slot_capacity: int, orders, shuffle_key, train: bool):
+    def __call__(self, point: PointBatch, slot_capacity: int, orders, shuffle_key, train: bool, cond_sample=None):
         pd = max((self.stride - 1).bit_length(), 1)  # stride 2 -> 1 level
         parent_grid = point.grid_coord >> pd
         batch = point.batch
@@ -291,9 +301,16 @@ class SerializedPooling(nn.Module):
             valid=su.out_valid,
             num_samples=point.num_samples,
         )
-        pooled_feat = MaskedBatchNorm(self.out_channels, momentum=self.bn_momentum, name="norm")(
-            pooled.feat, pooled.valid, not train
-        )
+        if self.pdnorm_conditions > 0:
+            from .point_prompt_training import PDNorm
+
+            pooled_feat = PDNorm(
+                self.out_channels, self.pdnorm_conditions, momentum=self.bn_momentum, name="norm"
+            )(pooled.feat, pooled.valid, jnp.take(cond_sample, pooled.batch), use_running_average=not train)
+        else:
+            pooled_feat = MaskedBatchNorm(self.out_channels, momentum=self.bn_momentum, name="norm")(
+                pooled.feat, pooled.valid, not train
+            )
         pooled = pooled.replace(feat=nn.gelu(pooled_feat))
         pooled = pooled.serialize(orders=orders, depth=_DEPTH, shuffle_key=shuffle_key)
         return pooled, su
@@ -303,13 +320,24 @@ class SerializedUnpooling(nn.Module):
     """Broadcast pooled features back to children + skip (`:447-483`)."""
 
     out_channels: int
+    pdnorm_conditions: int = 0
 
     @nn.compact
-    def __call__(self, pooled: PointBatch, skip: PointBatch, su):
+    def __call__(self, pooled: PointBatch, skip: PointBatch, su, cond_sample=None):
+        if self.pdnorm_conditions > 0:
+            proj_norm = lambda x, b: CondLayerNorm(
+                self.out_channels, self.pdnorm_conditions, name="proj_norm"
+            )(x, jnp.take(cond_sample, b))
+            skip_norm = lambda x, b: CondLayerNorm(
+                self.out_channels, self.pdnorm_conditions, name="skip_norm"
+            )(x, jnp.take(cond_sample, b))
+        else:
+            proj_norm = lambda x, b: LayerNorm(self.out_channels, name="proj_norm")(x)
+            skip_norm = lambda x, b: LayerNorm(self.out_channels, name="skip_norm")(x)
         feat = nn.Dense(self.out_channels, dtype=pooled.feat.dtype, name="proj")(pooled.feat)
-        feat = LayerNorm(self.out_channels, name="proj_norm")(feat)
+        feat = proj_norm(feat, pooled.batch)
         skip_feat = nn.Dense(self.out_channels, dtype=skip.feat.dtype, name="proj_skip")(skip.feat)
-        skip_feat = LayerNorm(self.out_channels, name="skip_norm")(skip_feat)
+        skip_feat = skip_norm(skip_feat, skip.batch)
         pad = jnp.concatenate([feat, jnp.zeros((1, self.out_channels), feat.dtype)], axis=0)
         prow = jnp.minimum(su.parent_row, feat.shape[0])
         gathered = jnp.take(pad, prow, axis=0)
@@ -351,14 +379,24 @@ class PointTransformerV3(nn.Module):
     bn_momentum: float = 0.01
     scan_blocks: bool = True  # compile each stage's blocks once via nn.scan
     enable_rpe: bool = False  # learned relative-position bias in attention
+    # >0: backbone-internal PDNorm — per-dataset-condition tables at every
+    # norm site (the reference's PPT PDNorm ln/bn factory override used by
+    # ppt-extreme configs); forward takes condition=[num_samples] int32
+    pdnorm_conditions: int = 0
     lora_rank: int = 0  # >0 adds LoRA adapters on every attention qkv
     cpe_kernel_size: int = 3  # xCPE neighborhood (KeypointPTv3Plus uses larger)
     cpe_bottleneck: int = 0  # >0: bottleneck large-kernel xCPE (PTv3Plus)
 
     @nn.compact
-    def __call__(self, point: PointBatch, train: bool = False):
+    def __call__(self, point: PointBatch, train: bool = False, condition=None):
         num_stages = len(self.enc_depths)
         slot0 = point.slot_size
+        M = self.pdnorm_conditions
+        if M > 0 and condition is None:
+            condition = jnp.zeros((point.num_samples,), jnp.int32)
+        cond_sample = (
+            jnp.asarray(condition).reshape(-1).astype(jnp.int32) if M > 0 else None
+        )
 
         def stage_cap(s):
             # slot capacity at stage s, rounded up to a patch-size multiple
@@ -384,9 +422,16 @@ class PointTransformerV3(nn.Module):
             jnp.float32,
         )
         feat = sparse_conv(point.feat, kmap_stem, w)
-        feat = MaskedBatchNorm(self.enc_channels[0], momentum=self.bn_momentum, name="stem_norm")(
-            feat, point.valid, not train
-        )
+        if M > 0:
+            from .point_prompt_training import PDNorm
+
+            feat = PDNorm(
+                self.enc_channels[0], M, momentum=self.bn_momentum, name="stem_norm"
+            )(feat, point.valid, jnp.take(cond_sample, batch), use_running_average=not train)
+        else:
+            feat = MaskedBatchNorm(self.enc_channels[0], momentum=self.bn_momentum, name="stem_norm")(
+                feat, point.valid, not train
+            )
         point = point.replace(feat=nn.gelu(feat))
         point = point.serialize(orders=tuple(self.order), depth=_DEPTH, shuffle_key=shuffle_key)
 
@@ -410,8 +455,9 @@ class PointTransformerV3(nn.Module):
                     self.enc_channels[s],
                     stride=self.stride[s - 1],
                     bn_momentum=self.bn_momentum,
+                    pdnorm_conditions=M,
                     name=f"enc{s}_down",
-                )(x, cap, tuple(self.order), stage_key, train)
+                )(x, cap, tuple(self.order), stage_key, train, cond_sample)
                 sus.append(su)
             b = x.batch
             if s == 0 and self.stem_kernel == self.cpe_kernel_size:
@@ -429,9 +475,10 @@ class PointTransformerV3(nn.Module):
                     self.enc_patch_size[s], self.mlp_ratio, self.attn_impl,
                     lora_rank=self.lora_rank, cpe_bottleneck=self.cpe_bottleneck,
                     qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-                    enable_rpe=self.enable_rpe,
+                    enable_rpe=self.enable_rpe, pdnorm_conditions=M,
                     name=f"enc{s}_blocks",
-                )(x, kmap, train, dp_rates[blk : blk + depth])
+                )(x, kmap, train, dp_rates[blk : blk + depth],
+                  jnp.take(cond_sample, x.batch) if M > 0 else None)
                 blk += depth
             else:
                 for i in range(depth):
@@ -447,8 +494,10 @@ class PointTransformerV3(nn.Module):
                         qkv_bias=self.qkv_bias,
                         qk_scale=self.qk_scale,
                         enable_rpe=self.enable_rpe,
+                        pdnorm_conditions=M,
                         name=f"enc{s}_block{i}",
-                    )(x, kmap, train, order_index=i)
+                    )(x, kmap, train, order_index=i,
+                      cond=jnp.take(cond_sample, x.batch) if M > 0 else None)
                     blk += 1
 
         if self.enc_mode:
@@ -468,7 +517,9 @@ class PointTransformerV3(nn.Module):
         # ---- decoder -----------------------------------------------------
         for s in reversed(range(num_stages - 1)):
             skip = skips[s]
-            x = SerializedUnpooling(self.dec_channels[s], name=f"dec{s}_up")(x, skip, sus[s])
+            x = SerializedUnpooling(
+                self.dec_channels[s], pdnorm_conditions=M, name=f"dec{s}_up"
+            )(x, skip, sus[s], cond_sample)
             kmap = kmaps[s]
             depth = self.dec_depths[s]
             if self.scan_blocks and depth > 1:
@@ -477,9 +528,10 @@ class PointTransformerV3(nn.Module):
                     self.dec_patch_size[s], self.mlp_ratio, self.attn_impl,
                     lora_rank=self.lora_rank, cpe_bottleneck=self.cpe_bottleneck,
                     qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-                    enable_rpe=self.enable_rpe,
+                    enable_rpe=self.enable_rpe, pdnorm_conditions=M,
                     name=f"dec{s}_blocks",
-                )(x, kmap, train, dp_rates[blk : blk + depth])
+                )(x, kmap, train, dp_rates[blk : blk + depth],
+                  jnp.take(cond_sample, x.batch) if M > 0 else None)
                 blk += depth
             else:
                 for i in range(depth):
@@ -495,7 +547,9 @@ class PointTransformerV3(nn.Module):
                         qkv_bias=self.qkv_bias,
                         qk_scale=self.qk_scale,
                         enable_rpe=self.enable_rpe,
+                        pdnorm_conditions=M,
                         name=f"dec{s}_block{i}",
-                    )(x, kmap, train, order_index=i)
+                    )(x, kmap, train, order_index=i,
+                      cond=jnp.take(cond_sample, x.batch) if M > 0 else None)
                     blk += 1
         return x.feat

@@ -61,3 +61,28 @@ def patch_attention_xla(
     else:
         out = attend(qkv, vmask, bias).reshape(n, h * d)
     return out
+
+
+@jax.custom_vjp
+def take_permutation(x, perm, inv_perm):
+    """``x[perm]`` for a true permutation, with a gather (not scatter) VJP.
+
+    XLA autodiff turns the transpose of a gather into a scatter-add — the
+    slowest primitive on the round-1 TPU backend.  For a bijective ``perm``
+    with known inverse, d/dx is exactly ``g[inv_perm]``: another gather.
+    Serialized attention applies two of these per block (sort + unsort), so
+    this halves its backward cost.
+    """
+    return jnp.take(x, perm, axis=0)
+
+
+def _take_perm_fwd(x, perm, inv_perm):
+    return jnp.take(x, perm, axis=0), (perm, inv_perm)
+
+
+def _take_perm_bwd(res, g):
+    _, inv_perm = res
+    return jnp.take(g, inv_perm, axis=0), None, None
+
+
+take_permutation.defvjp(_take_perm_fwd, _take_perm_bwd)

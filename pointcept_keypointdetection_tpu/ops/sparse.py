@@ -21,6 +21,7 @@ shaped; no scalar loops, no dynamic shapes.
 
 from __future__ import annotations
 
+import functools
 import itertools
 from typing import NamedTuple, Optional, Sequence, Tuple
 
@@ -161,7 +162,9 @@ def build_kernel_map(
     # Chunk the offsets so every lexsort in the program has one of a few
     # canonical shapes (a single 13M-element variadic sort is a TPU
     # compile-time bomb; a scanned 27-offset chunk compiles once and loops).
-    chunk = min(k, 27)
+    import os as _os
+
+    chunk = min(k, int(_os.environ.get("PKT_KMAP_CHUNK", "27")))
     nchunks = -(-k // chunk)
     pad_k = nchunks * chunk
     qhi = qcode.hi.reshape(n, k)
@@ -353,27 +356,16 @@ def _sortmerge_lookup(index: SortedVoxelIndex, qhi: jnp.ndarray, qlo: jnp.ndarra
     return rows.at[qid].set(result_sorted, mode="drop")
 
 
-def sparse_conv(
-    feat: jnp.ndarray,  # [N, Cin]
-    kmap: KernelMap,
-    weight: jnp.ndarray,  # [K, Cin, Cout]
-    bias: Optional[jnp.ndarray] = None,
-    im2col_max_width: int = 2048,
+def _conv_apply(
+    feat: jnp.ndarray, neighbor_idx: jnp.ndarray, weight: jnp.ndarray, im2col_max_width: int
 ) -> jnp.ndarray:
-    """Apply a gather-scatter sparse convolution. Returns [N, Cout].
-
-    Missing neighbors contribute zero (index N hits an appended zero row).
-    """
+    """out[i] = sum_d feat[neighbor_idx[i, d]] @ weight[d] (f32 accumulate)."""
     n, cin = feat.shape
-    k = weight.shape[0]
-    cout = weight.shape[2]
-    # mixed precision: run the MXU in the feature dtype (bf16 x bf16 -> f32
-    # accumulate via preferred_element_type); params stay f32 outside
+    k, _, cout = weight.shape
     weight = weight.astype(feat.dtype)
     feat_pad = jnp.concatenate([feat, jnp.zeros((1, cin), feat.dtype)], axis=0)
-
     if k * cin <= im2col_max_width:
-        gathered = jnp.take(feat_pad, kmap.neighbor_idx, axis=0)  # [N, K, Cin]
+        gathered = jnp.take(feat_pad, neighbor_idx, axis=0)  # [N, K, Cin]
         out = jax.lax.dot_general(
             gathered.reshape(n, k * cin),
             weight.reshape(k * cin, cout),
@@ -390,8 +382,67 @@ def sparse_conv(
             ), None
 
         init = jnp.zeros((n, cout), jnp.float32)
-        out, _ = jax.lax.scan(body, init, (kmap.neighbor_idx.T, weight))
-    out = out.astype(feat.dtype)
+        out, _ = jax.lax.scan(body, init, (neighbor_idx.T, weight))
+    return out.astype(feat.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _subm_conv_sym(feat, weight, neighbor_idx, im2col_max_width):
+    return _conv_apply(feat, neighbor_idx, weight, im2col_max_width)
+
+
+def _subm_conv_sym_fwd(feat, weight, neighbor_idx, im2col_max_width):
+    return _conv_apply(feat, neighbor_idx, weight, im2col_max_width), (feat, weight, neighbor_idx)
+
+
+def _subm_conv_sym_bwd(im2col_max_width, res, g):
+    """Scatter-free backward for symmetric (centered-cube) kernel maps.
+
+    XLA autodiff of the forward gather produces a scatter-add over dL/dfeat —
+    scatters are the slowest primitive on the round-1 backend.  For a centered
+    cube in canonical `itertools.product` order, offset d's opposite is K-1-d
+    and ``map[i][d] = j  <=>  map[j][K-1-d] = i``, so
+
+        dL/dfeat = conv(dL/dout, same map, flip(W, 0) transposed)
+
+    is another GATHER-conv (exact, no scatter).  dW comes from the re-gathered
+    im2col matmul (recompute > stash: HBM residency beats one extra gather).
+    """
+    feat, weight, neighbor_idx = res
+    k = weight.shape[0]
+    w_mirror = jnp.flip(weight, axis=0).transpose(0, 2, 1)
+    dfeat = _conv_apply(g, neighbor_idx, w_mirror.astype(g.dtype), im2col_max_width)
+    n, cin = feat.shape
+    feat_pad = jnp.concatenate([feat, jnp.zeros((1, cin), feat.dtype)], axis=0)
+    gathered = jnp.take(feat_pad, neighbor_idx, axis=0)  # [N, K, Cin]
+    dweight = jnp.einsum(
+        "nkc,nd->kcd", gathered, g, preferred_element_type=jnp.float32
+    ).astype(weight.dtype)
+    return dfeat.astype(feat.dtype), dweight, None
+
+
+_subm_conv_sym.defvjp(_subm_conv_sym_fwd, _subm_conv_sym_bwd)
+
+
+def sparse_conv(
+    feat: jnp.ndarray,  # [N, Cin]
+    kmap: KernelMap,
+    weight: jnp.ndarray,  # [K, Cin, Cout]
+    bias: Optional[jnp.ndarray] = None,
+    im2col_max_width: int = 2048,
+    symmetric: bool = True,
+) -> jnp.ndarray:
+    """Apply a gather-scatter sparse convolution. Returns [N, Cout].
+
+    Missing neighbors contribute zero (index N hits an appended zero row).
+    ``symmetric=True`` (valid for centered-cube kernel maps in canonical
+    order — every current caller) routes the backward pass through the
+    mirrored-map gather conv instead of XLA's scatter-add transpose.
+    """
+    if symmetric:
+        out = _subm_conv_sym(feat, weight, kmap.neighbor_idx, im2col_max_width)
+    else:
+        out = _conv_apply(feat, kmap.neighbor_idx, weight, im2col_max_width)
     if bias is not None:
         out = out + bias.astype(feat.dtype)
     return out

@@ -228,3 +228,74 @@ def test_kernel_map_hash_parity_large(rng):
         oracle = build_kernel_map(index, g, b, v, spec, method="bsearch")
         h = build_kernel_map(index, g, b, v, spec, method="hash")
         np.testing.assert_array_equal(np.asarray(h.neighbor_idx), np.asarray(oracle.neighbor_idx))
+
+
+def test_sparse_conv_symmetric_vjp_matches_autodiff(rng):
+    """The scatter-free mirrored-map backward must match XLA autodiff of the
+    plain gather conv exactly (same map, centered-cube ordering)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcept_keypointdetection_tpu.ops.sparse import (
+        SparseConvSpec,
+        build_kernel_map,
+        build_voxel_index,
+        sparse_conv,
+    )
+
+    n = 257
+    coords = rng.integers(0, 8, (n, 3)).astype(np.int32)
+    # dedupe so the map is a function
+    _, first = np.unique(
+        coords[:, 0] * 100 + coords[:, 1] * 10 + coords[:, 2], return_index=True
+    )
+    valid = np.zeros(n, bool)
+    valid[first] = True
+    grid = jnp.asarray(coords)
+    v = jnp.asarray(valid)
+    batch = jnp.zeros(n, jnp.int32)
+    index = build_voxel_index(grid, batch, v)
+    kmap = build_kernel_map(index, grid, batch, v, SparseConvSpec.cube(3))
+
+    feat = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, 8, 6)).astype(np.float32) * 0.1)
+    g_out = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+
+    def loss_sym(f, ww):
+        return jnp.sum(sparse_conv(f, kmap, ww, symmetric=True) * g_out)
+
+    def loss_ref(f, ww):
+        return jnp.sum(sparse_conv(f, kmap, ww, symmetric=False) * g_out)
+
+    gf_sym, gw_sym = jax.grad(loss_sym, argnums=(0, 1))(feat, w)
+    gf_ref, gw_ref = jax.grad(loss_ref, argnums=(0, 1))(feat, w)
+    np.testing.assert_allclose(np.asarray(gf_sym), np.asarray(gf_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_sym), np.asarray(gw_ref), rtol=1e-4, atol=1e-4)
+    # forward values identical too
+    np.testing.assert_allclose(
+        np.asarray(sparse_conv(feat, kmap, w, symmetric=True)),
+        np.asarray(sparse_conv(feat, kmap, w, symmetric=False)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_take_permutation_vjp(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from pointcept_keypointdetection_tpu.ops.attention import take_permutation
+
+    n = 97
+    perm = rng.permutation(n)
+    inv = np.empty(n, np.int32)
+    inv[perm] = np.arange(n)
+    x = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+    g_out = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+    p, i = jnp.asarray(perm.astype(np.int32)), jnp.asarray(inv)
+
+    np.testing.assert_array_equal(
+        np.asarray(take_permutation(x, p, i)), np.asarray(x)[perm]
+    )
+    g_custom = jax.grad(lambda x_: jnp.sum(take_permutation(x_, p, i) * g_out))(x)
+    g_ref = jax.grad(lambda x_: jnp.sum(jnp.take(x_, p, axis=0) * g_out))(x)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref), rtol=1e-6)

@@ -242,3 +242,129 @@ def test_ppt_language_guided_learned_table(rng):
     assert variables["params"]["class_embedding"].shape == (7, 16)
     out = model.apply(variables, point, batch, train=False)
     assert np.asarray(out["seg_logits"]).shape == (256, 4)
+
+
+def test_ppt_ptv3_internal_pdnorm(rng):
+    """PT-v3m1 pdnorm_conditions: the ppt-extreme wiring — per-condition
+    norm tables at the stem BN, block LNs, pooling BN and unpooling LNs
+    (reference PDNorm ln/bn factory override in PTv3)."""
+    model = MODELS.build(
+        dict(
+            type="PPT-v1m2",
+            conditions=("A", "B"),
+            num_classes=(5, 3),
+            context_channels=8,
+            backbone_out_channels=16,
+            backbone=dict(
+                type="PT-v3m1",
+                in_channels=4 + 8,
+                stride=(2, 2),
+                enc_depths=(1, 1, 1),
+                enc_channels=(16, 32, 48),
+                enc_num_head=(2, 4, 4),
+                enc_patch_size=(16, 16, 16),
+                dec_depths=(1, 1),
+                dec_channels=(16, 32),
+                dec_num_head=(2, 4),
+                dec_patch_size=(16, 16),
+                mlp_ratio=2,
+                drop_path=0.0,
+                slot_divisors=(1, 2, 4),
+                stem_kernel=3,
+                attn_impl="xla",
+                pdnorm_conditions=2,
+            ),
+            criteria=[dict(type="CrossEntropyLoss")],
+        )
+    )
+    point = _point(rng)
+    batch = {
+        "condition": jnp.asarray([0, 1], jnp.int32),
+        "segment": jnp.zeros(point.num_points, jnp.int32),
+    }
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "shuffle": jax.random.PRNGKey(2)},
+        point, batch,
+    )
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    pd_scales = [
+        p for path, p in flat
+        if any(getattr(k, "key", "") == "scale" for k in path) and p.ndim >= 2
+    ]
+    assert any(p.shape[-2] == 2 or p.shape[0] == 2 for p in pd_scales), \
+        "no per-condition scale tables in PTv3"
+    out, _ = model.apply(
+        variables, point, batch, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(3), "shuffle": jax.random.PRNGKey(4)},
+    )
+    assert np.isfinite(float(out["loss"]))
+    # decoupled norms: condition flip changes logits
+    out0 = model.apply(variables, point, batch, train=False)
+    out1 = model.apply(
+        variables, point, dict(batch, condition=jnp.asarray([1, 1], jnp.int32)), train=False
+    )
+    assert not np.allclose(
+        np.asarray(out0["seg_logits"])[: point.slot_size],
+        np.asarray(out1["seg_logits"])[: point.slot_size],
+    )
+
+
+def test_ppt_ptv2_internal_pdnorm(rng):
+    """PT-v2m3: PDNorm at every BN site of PTv2 (reference
+    `point_transformer_v2m3_pdnorm.py`)."""
+    model = MODELS.build(
+        dict(
+            type="PPT-v1m2",
+            conditions=("A", "B"),
+            num_classes=(5, 3),
+            context_channels=8,
+            backbone_out_channels=16,
+            backbone=dict(
+                type="PT-v2m3",
+                in_channels=4 + 8,
+                patch_embed_depth=1,
+                patch_embed_channels=16,
+                patch_embed_groups=4,
+                patch_embed_neighbours=8,
+                enc_depths=(1, 1),
+                enc_channels=(16, 32),
+                enc_groups=(4, 8),
+                enc_neighbours=(8, 8),
+                dec_depths=(1, 1),
+                dec_channels=(16, 16),
+                dec_groups=(4, 4),
+                dec_neighbours=(8, 8),
+                grid_sizes=(0.12, 0.24),
+                slot_divisors=(2, 4),
+                pdnorm_conditions=2,
+            ),
+            criteria=[dict(type="CrossEntropyLoss")],
+        )
+    )
+    point = _point(rng)
+    batch = {
+        "condition": jnp.asarray([0, 1], jnp.int32),
+        "segment": jnp.zeros(point.num_points, jnp.int32),
+    }
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        point, batch,
+    )
+    out, _ = model.apply(
+        variables, point, batch, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert np.isfinite(float(out["loss"]))
+    out0 = model.apply(variables, point, batch, train=False)
+    out1 = model.apply(
+        variables, point, dict(batch, condition=jnp.asarray([1, 1], jnp.int32)), train=False
+    )
+    assert not np.allclose(
+        np.asarray(out0["seg_logits"])[: point.slot_size],
+        np.asarray(out1["seg_logits"])[: point.slot_size],
+    )

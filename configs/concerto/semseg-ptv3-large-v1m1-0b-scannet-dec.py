@@ -1,0 +1,14 @@
+_base_ = ["../sonata/semseg-sonata-v1m1-0b-scannet-dec.py"]
+# Concerto-large dec probe on scannet (reference configs/concerto/semseg-ptv3-large-v1m1-0b-scannet-dec.py)
+
+num_classes = 20
+weight = "exp/concerto/pretrain/model/model_best.ckpt"
+model = dict(
+    num_classes=20,
+    backbone=dict(
+        enc_depths=(3, 3, 3, 12, 3),
+        enc_channels=(48, 96, 192, 384, 512),
+        enc_num_head=(3, 6, 12, 24, 32),
+    ),
+)
+

@@ -1,0 +1,24 @@
+_base_ = ["../sonata/semseg-sonata-v1m1-0c-scannet-ft.py"]
+# Concerto-large ft probe on s3dis (reference configs/concerto/semseg-ptv3-large-v1m1-3c-s3dis-ft.py)
+
+num_classes = 13
+weight = "exp/concerto/pretrain/model/model_best.ckpt"
+model = dict(
+    num_classes=13,
+    backbone=dict(
+        enc_depths=(3, 3, 3, 12, 3),
+        enc_channels=(48, 96, 192, 384, 512),
+        enc_num_head=(3, 6, 12, 24, 32),
+    ),
+)
+data = dict(
+    num_classes=13,
+    train=dict(
+        _delete_=True,
+        type="S3DISDataset",
+        split=("Area_1", "Area_2", "Area_3", "Area_4", "Area_6"),
+        data_root="data/s3dis",
+    ),
+    val=dict(_delete_=True, type="S3DISDataset", split="Area_5", data_root="data/s3dis"),
+    test=dict(_delete_=True, type="S3DISDataset", split="Area_5", data_root="data/s3dis"),
+)

@@ -9,7 +9,11 @@ model = dict(
 )
 data = dict(
     num_classes=13,
-    train=dict(type="S3DISDataset"),
-    val=dict(type="S3DISDataset"),
-    test=dict(type="S3DISDataset"),
+    train=dict(
+        type="S3DISDataset",
+        split=("Area_1", "Area_2", "Area_3", "Area_4", "Area_6"),
+        data_root="data/s3dis",
+    ),
+    val=dict(type="S3DISDataset", split="Area_5", data_root="data/s3dis"),
+    test=dict(type="S3DISDataset", split="Area_5", data_root="data/s3dis"),
 )

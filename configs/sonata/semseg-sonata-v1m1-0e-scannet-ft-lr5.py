@@ -1,0 +1,5 @@
+_base_ = ["./semseg-sonata-v1m1-0c-scannet-ft.py"]
+# Sonata fine-tune under limited reconstructions (5% scenes; reference
+# configs/sonata/semseg-sonata-v1m1-0e*-scannet-ft-lr5.py)
+
+data = dict(train=dict(lr_file="data/scannet/tasks/scenes/scene5.txt"))

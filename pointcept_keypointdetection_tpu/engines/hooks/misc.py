@@ -264,6 +264,52 @@ class RuntimeProfiler(HookBase):
 
 
 @HOOKS.register_module()
+class RuntimeProfilerV2(HookBase):
+    """Scheduled repeating profiler (parity: `hooks/misc.py:426-496` —
+    torch.profiler schedule(wait/warmup/active/repeat) with the tensorboard
+    trace handler).  Each cycle: idle ``wait`` steps, ``warmup`` untraced
+    steps, then trace ``active`` steps into ``<save_path>/profile/cycle<i>``;
+    repeats ``repeat`` times (0 = forever)."""
+
+    def __init__(self, wait=1, warmup=1, active=2, repeat=1, save_path=None):
+        self.wait = wait
+        self.warmup = warmup
+        self.active = active
+        self.repeat = repeat
+        self.save_path = save_path
+        self._step = 0
+        self._cycle = 0
+        self._active = False
+
+    def before_step(self):
+        if self.repeat and self._cycle >= self.repeat:
+            return
+        cycle_len = self.wait + self.warmup + self.active
+        pos = self._step % cycle_len
+        if pos == self.wait + self.warmup and not self._active:
+            base = self.save_path or os.path.join(self.trainer.cfg.save_path, "profile")
+            jax.profiler.start_trace(os.path.join(base, f"cycle{self._cycle}"))
+            self._active = True
+
+    def after_step(self):
+        if self.repeat and self._cycle >= self.repeat:
+            return
+        cycle_len = self.wait + self.warmup + self.active
+        pos = self._step % cycle_len
+        if self._active and pos == cycle_len - 1:
+            jax.profiler.stop_trace()
+            self._active = False
+            self._cycle += 1
+            get_root_logger().info("Profiler trace cycle %d written", self._cycle)
+        self._step += 1
+
+    def after_train(self):
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
+@HOOKS.register_module()
 class PreciseEvaluator(HookBase):
     """Run a full TESTERS instance after training on the best/last weights
     (parity: `hooks/misc.py:277-309`)."""

@@ -4,6 +4,12 @@ _base_ = ["./pretrain-msc-v1m1-0-spunet-base.py"]
 # are real RGB-D partial frames with known overlap instead of synthetic
 # augmentations of one scene.
 
+# pair frames carry color only (no normals): 3-channel views
+model = dict(
+    backbone=dict(in_channels=3),
+    backbone_in_channels=3,
+)
+
 data = dict(
     train=dict(
         _delete_=True,

@@ -20,6 +20,7 @@ import numpy as np
 
 PER_POINT_KEYS = (
     "coord",
+    "origin_coord",  # unaugmented world-frame coords (DINO knn lifting)
     "grid_coord",
     "feat",
     "segment",
@@ -106,6 +107,11 @@ def collate(
             merged = {}
             for key in padded[i]:
                 if key == "valid" or (key in PER_POINT_KEYS and key in padded[i]):
+                    merged[key] = np.concatenate([padded[i][key], padded[i + 1][key]], axis=0)
+                elif key.startswith("dino_") and key in padded[i + 1]:
+                    # the fused scene is the union of both scenes' points, so
+                    # its DINO side cloud must be the union too — otherwise
+                    # half the slot knn-matches a different scene's features
                     merged[key] = np.concatenate([padded[i][key], padded[i + 1][key]], axis=0)
                 else:
                     merged[key] = padded[i][key]

@@ -225,9 +225,16 @@ def process_scene_dirs(
     intrinsic = np.load(os.path.join(scene_dir, "intrinsic", "intrinsic.npy"))
     intrinsic = np.asarray(intrinsic, np.float64)
 
+    def frame_key(path):
+        # numeric frame ids sort temporally; exporters that prefix names
+        # (frame_000042.jpg, timestamps) fall back to the digit run, then to
+        # the raw name so mixed layouts never crash
+        stem = os.path.splitext(os.path.basename(path))[0]
+        digits = "".join(ch for ch in stem if ch.isdigit())
+        return (int(digits) if digits else 0, stem)
+
     color_files = sorted(
-        glob.glob(os.path.join(scene_dir, "color", "*")),
-        key=lambda p: int(os.path.splitext(os.path.basename(p))[0]),
+        glob.glob(os.path.join(scene_dir, "color", "*")), key=frame_key
     )[::frame_gap]
     colors, corrs = [], []
     for cf in color_files:

@@ -68,11 +68,22 @@ class GridAccumulator:
         self.count: Optional[np.ndarray] = None
 
     def add(self, coord: np.ndarray, feat: np.ndarray):
+        # carry true per-voxel SUMS and COUNTS across frames; the mean is
+        # taken once in result(), so every observation weighs equally no
+        # matter which frame it arrived in
         grid = np.floor(coord / self.grid_size).astype(np.int64)
         key = (grid[:, 0] << 42) ^ (grid[:, 1] << 21) ^ grid[:, 2]
         keys = key if self.keys is None else np.concatenate([self.keys, key])
-        coords = coord if self.coord_sum is None else np.concatenate([self.coord_sum, coord])
-        feats = feat if self.feat_sum is None else np.concatenate([self.feat_sum, feat])
+        coords = (
+            coord.astype(np.float64)
+            if self.coord_sum is None
+            else np.concatenate([self.coord_sum, coord])
+        )
+        feats = (
+            feat.astype(np.float64)
+            if self.feat_sum is None
+            else np.concatenate([self.feat_sum, feat])
+        )
         counts = (
             np.ones(len(coord))
             if self.count is None
@@ -86,13 +97,13 @@ class GridAccumulator:
         np.add.at(self.feat_sum, inv, feats)
         self.count = np.zeros(len(uniq))
         np.add.at(self.count, inv, counts)
-        # keep running means so repeated accumulation stays numerically flat
-        self.coord_sum /= self.count[:, None]
-        self.feat_sum /= self.count[:, None]
-        self.count = np.ones(len(uniq))
 
     def result(self):
-        return self.coord_sum.astype(np.float16), self.feat_sum.astype(np.float16)
+        count = np.maximum(self.count, 1.0)[:, None]
+        return (
+            (self.coord_sum / count).astype(np.float16),
+            (self.feat_sum / count).astype(np.float16),
+        )
 
 
 def dinov2_feat_fn(model_name: str = "facebook/dinov2-small") -> Callable:

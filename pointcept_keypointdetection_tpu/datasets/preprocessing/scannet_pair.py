@@ -122,28 +122,18 @@ def voxel_downsample(coord: np.ndarray, voxel_size: float) -> np.ndarray:
 
 
 def overlap_ratio(coord0: np.ndarray, coord1: np.ndarray, voxel_size: float) -> float:
-    """max(|matched(0->1)|/|0|, |matched(1->0)|/|1|) with radius
-    1.5 * voxel_size (`compute_full_overlapping.py:30-48` semantics), via
-    voxel-hash neighbourhoods instead of a KD-tree."""
+    """max(|matched(0->1)|/|0|, |matched(1->0)|/|1|) with match radius
+    1.5 * voxel_size — the reference's exact semantics
+    (`compute_full_overlapping.py:30-48`), via a cKDTree radius query."""
+    from scipy.spatial import cKDTree
 
     def directional(src: np.ndarray, dst: np.ndarray) -> float:
         if len(src) == 0 or len(dst) == 0:
             return 0.0
-        # occupancy hash of dst at resolution voxel_size; any point of dst in
-        # one of the 27 voxels around a src point can be within 1.5 * voxel
-        cell = voxel_size
-        dst_keys = set(map(tuple, np.floor(dst / cell).astype(np.int64)))
-        src_grid = np.floor(src / cell).astype(np.int64)
-        matched = 0
-        offsets = [
-            (dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
-        ]
-        for g in src_grid:
-            for off in offsets:
-                if (g[0] + off[0], g[1] + off[1], g[2] + off[2]) in dst_keys:
-                    matched += 1
-                    break
-        return matched / len(src)
+        dist, _ = cKDTree(dst).query(
+            src, k=1, distance_upper_bound=1.5 * voxel_size
+        )
+        return float(np.isfinite(dist).sum()) / len(src)
 
     p0 = voxel_downsample(coord0, voxel_size)
     p1 = voxel_downsample(coord1, voxel_size)

@@ -30,6 +30,7 @@ TRANSFORMS = Registry("transforms")
 # transform.py:24-45)
 VALID_INDEX_KEYS = (
     "coord",
+    "origin_coord",
     "color",
     "normal",
     "strength",

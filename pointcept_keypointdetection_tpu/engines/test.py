@@ -163,7 +163,10 @@ class SemSegTester(TesterBase):
             segment = data_dict.pop("segment")
             name = data_dict.pop("name")
             extras = self.scene_batch_extras(data_dict)
-            pred = np.zeros((segment.size, K), np.float32)
+            # width comes from the model's first output: PPT-style models emit
+            # max(num_classes)-wide padded logits (extra columns ~0 after
+            # softmax), plain segmentors emit exactly K
+            pred = None
 
             for frag in fragment_list:
                 index = frag.pop("index")
@@ -176,10 +179,14 @@ class SemSegTester(TesterBase):
                 batch = collate([padded], self.fragment_capacity)
                 batch.update(extras)
                 probs = np.asarray(self._forward(self.variables, sample_to_device(batch)))
+                if pred is None:
+                    pred = np.zeros((segment.size, probs.shape[1]), np.float32)
                 m = min(n, self.fragment_capacity)
                 pred[index[:m]] += probs[:m]
 
-            seg_pred = pred.argmax(axis=1)
+            if pred is None:
+                pred = np.zeros((segment.size, K), np.float32)
+            seg_pred = pred[:, :K].argmax(axis=1)
             if "origin_segment" in data_dict and "inverse" in data_dict:
                 seg_pred = seg_pred[data_dict["inverse"]]
                 segment = data_dict["origin_segment"]
@@ -188,7 +195,7 @@ class SemSegTester(TesterBase):
                 if "ScanNetPP" in self.cfg.data.test.type:
                     # ScanNet++ benchmark wants the top-3 predictions per
                     # vertex (parity: `engines/test.py:216-223`)
-                    top3 = np.argsort(-pred, axis=1)[:, :3]
+                    top3 = np.argsort(-pred[:, :K], axis=1)[:, :3]
                     if "inverse" in data_dict:
                         top3 = top3[data_dict["inverse"]]
                     out_dir = os.path.join(save_path, "submit")
@@ -253,7 +260,8 @@ class DINOSemSegTester(SemSegTester):
         m = dino_coord.shape[0]
         cap = self.dino_capacity
         if m > cap:
-            sel = np.random.choice(m, cap, replace=False)
+            # deterministic subsample: results must be reproducible run-to-run
+            sel = np.random.default_rng(0).choice(m, cap, replace=False)
             dino_coord, dino_feat = dino_coord[sel], dino_feat[sel]
             m = cap
         valid = np.zeros(cap, bool)

@@ -133,8 +133,14 @@ class DINOEnhancedSegmentor(nn.Module):
         dino_batch = (
             jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) // (m // point.num_samples)
         ).reshape(m)
+        # knn in the UNAUGMENTED world frame: the DINO side cloud never goes
+        # through the augmentation pipeline, so matching must use the points'
+        # original coordinates (reference knns on `point.origin_coord`,
+        # `models/default.py:259-267`); configs carry them via
+        # Copy(coord->origin_coord) before augmentation
+        query_coord = batch.get("origin_coord", point.coord)
         idx, _ = knn(
-            point.coord,
+            query_coord,
             dino_coord,
             k=1,
             query_batch=point.batch,

@@ -136,9 +136,14 @@ class MaskedSceneContrast(nn.Module):
             # CSC: negatives binned by scene context relative to the anchor —
             # z above/below x inside/outside partition_radius; the positive
             # (diagonal) joins every partition's softmax, losses averaged.
-            c1 = jnp.take(v1.coord, idx1, axis=0)  # anchors  [M, 3]
-            c2 = jnp.take(v2.coord, idx2, axis=0)  # keys     [M, 3]
-            rel = c2[None, :, :] - c1[:, None, :]
+            # Both ends of a match are the SAME world point, so key j's
+            # position is taken on the view1 side (c1[j]) — one consistent
+            # frame.  (The reference bins view1-vs-view2 coords across two
+            # independently augmented frames,
+            # `masked_scene_contrast_v1m2_csc.py:241`, which scrambles the
+            # bins; same machinery, consistent geometry here.)
+            c1 = jnp.take(v1.coord, idx1, axis=0)  # anchors [M, 3], view1 frame
+            rel = c1[None, :, :] - c1[:, None, :]
             up = rel[..., 2] >= 0
             inner = jnp.sum(jnp.square(rel), axis=-1) <= self.partition_radius**2
             part = jnp.where(inner, 0, 2) + jnp.where(up, 0, 1)  # [M, M] in 0..3

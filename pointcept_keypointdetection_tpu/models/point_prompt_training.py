@@ -200,13 +200,16 @@ class LanguageGuidedPPT(nn.Module):
         )
         context = jnp.take(embed, jnp.clip(cond, 0, M - 1), axis=0)
 
+        # data-driven context always prompts the stem features (the reference
+        # additionally modulates PDNorm sites with it; injecting at the stem
+        # keeps the embedding trained in both branches)
+        stem_ctx = nn.Dense(point.feat.shape[-1], name="context_proj")(context)
+        point = point.replace(feat=point.feat + stem_ctx.astype(point.feat.dtype))
         bb_cfg = dict(self.backbone)
         bb = build_model(bb_cfg)
         if bb_cfg.get("pdnorm_conditions"):
             feat = bb(point, train=train, condition=cond_per_sample)
         else:
-            stem_ctx = nn.Dense(point.feat.shape[-1], name="context_proj")(context)
-            point = point.replace(feat=point.feat + stem_ctx.astype(point.feat.dtype))
             feat = bb(point, train=train)
 
         if self.backbone_mode:

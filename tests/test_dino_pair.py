@@ -155,3 +155,40 @@ def test_dino_enhanced_segmentor_no_backbone(rng):
     variables = model.init({"params": jax.random.PRNGKey(0)}, point, batch, train=False)
     out = model.apply(variables, point, batch, train=False)
     assert out["seg_logits"].shape == (64, 4)
+
+
+def test_dino_knn_uses_origin_coord(rng):
+    """Augmented point coords must NOT change the DINO match when the
+    unaugmented origin_coord is provided (reference knns on origin_coord)."""
+    model = MODELS.build(
+        dict(
+            type="DINOEnhancedSegmentor",
+            num_classes=4,
+            backbone=None,
+            criteria=[],
+        )
+    )
+    point = _point(rng)
+    m = 16
+    dino = {
+        "dino_coord": jnp.asarray(rng.uniform(0, 0.8, (m, 3)).astype(np.float32)),
+        "dino_feat": jnp.asarray(rng.normal(size=(m, 8)).astype(np.float32)),
+        "dino_valid": jnp.ones(m, bool),
+    }
+    origin = point.coord  # world frame
+    # simulate augmentation: rotate/shift the live coords
+    aug_point = point.replace(coord=point.coord * 1.3 + 5.0)
+
+    batch_origin = dict(dino, origin_coord=origin)
+    v = model.init({"params": jax.random.PRNGKey(0)}, point, batch_origin, train=False)
+    out_ref = model.apply(v, point, batch_origin, train=False)
+    out_aug = model.apply(v, aug_point, batch_origin, train=False)
+    # with origin_coord present, augmentation of live coords is irrelevant
+    np.testing.assert_allclose(
+        np.asarray(out_ref["seg_logits"]), np.asarray(out_aug["seg_logits"]), rtol=1e-5
+    )
+    # without origin_coord, the fallback uses live coords -> different match
+    out_fallback = model.apply(v, aug_point, dict(dino), train=False)
+    assert not np.allclose(
+        np.asarray(out_ref["seg_logits"]), np.asarray(out_fallback["seg_logits"])
+    )

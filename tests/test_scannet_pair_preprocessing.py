@@ -162,3 +162,26 @@ def test_lift_scene_with_fake_model(tmp_path):
     assert coord.shape[0] > 0
     assert feat.shape == (coord.shape[0], 5)
     np.testing.assert_allclose(np.asarray(feat[:, 0], np.float32), 1.0, atol=1e-3)
+
+
+def test_overlap_ratio_radius_semantics():
+    """Matches use the reference's exact 1.5 * voxel_size radius: a point
+    1.4 voxels away matches, 2.8 voxels away does not."""
+    base = np.zeros((1, 3), np.float32)
+    near = np.array([[1.4, 0, 0]], np.float32)  # 1.4 < 1.5 -> match
+    far = np.array([[2.8, 0, 0]], np.float32)  # 2.8 > 1.5 -> no match
+    assert overlap_ratio(base, near, 1.0) == pytest.approx(1.0)
+    assert overlap_ratio(base, far, 1.0) == 0.0
+
+
+def test_grid_accumulator_true_mean():
+    """Every observation weighs equally regardless of arrival frame
+    (the running-mean formulation biased toward recent frames)."""
+    acc = GridAccumulator(grid_size=1.0)
+    # frame 1: three points, feat 1.0, same voxel
+    acc.add(np.full((3, 3), 0.2, np.float32), np.full((3, 4), 1.0, np.float32))
+    # frame 2: one point, feat 5.0, same voxel
+    acc.add(np.full((1, 3), 0.3, np.float32), np.full((1, 4), 5.0, np.float32))
+    _, feat = acc.result()
+    assert feat.shape == (1, 4)
+    np.testing.assert_allclose(np.asarray(feat, np.float64), 2.0, rtol=1e-3)  # (3*1+5)/4

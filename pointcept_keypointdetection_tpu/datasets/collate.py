@@ -106,12 +106,14 @@ def collate(
         for i in range(0, b, 2):
             merged = {}
             for key in padded[i]:
-                if key == "valid" or (key in PER_POINT_KEYS and key in padded[i]):
-                    merged[key] = np.concatenate([padded[i][key], padded[i + 1][key]], axis=0)
-                elif key.startswith("dino_") and key in padded[i + 1]:
-                    # the fused scene is the union of both scenes' points, so
-                    # its DINO side cloud must be the union too — otherwise
-                    # half the slot knn-matches a different scene's features
+                # per-point arrays concatenate; so do dino_* side clouds (the
+                # fused scene is the union of both scenes' points, so its
+                # DINO cloud must be the union too — otherwise half the slot
+                # knn-matches a different scene's features)
+                fuse = key == "valid" or key in PER_POINT_KEYS or (
+                    key.startswith("dino_") and key in padded[i + 1]
+                )
+                if fuse and key in padded[i + 1]:
                     merged[key] = np.concatenate([padded[i][key], padded[i + 1][key]], axis=0)
                 else:
                     merged[key] = padded[i][key]

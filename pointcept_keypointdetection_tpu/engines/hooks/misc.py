@@ -281,21 +281,28 @@ class RuntimeProfilerV2(HookBase):
         self._cycle = 0
         self._active = False
 
-    def before_step(self):
+    def _pos(self):
+        """(position in cycle, cycle length); None when all cycles are done."""
         if self.repeat and self._cycle >= self.repeat:
-            return
+            return None
         cycle_len = self.wait + self.warmup + self.active
-        pos = self._step % cycle_len
+        return self._step % cycle_len, cycle_len
+
+    def before_step(self):
+        state = self._pos()
+        if state is None:
+            return
+        pos, _ = state
         if pos == self.wait + self.warmup and not self._active:
             base = self.save_path or os.path.join(self.trainer.cfg.save_path, "profile")
             jax.profiler.start_trace(os.path.join(base, f"cycle{self._cycle}"))
             self._active = True
 
     def after_step(self):
-        if self.repeat and self._cycle >= self.repeat:
+        state = self._pos()
+        if state is None:
             return
-        cycle_len = self.wait + self.warmup + self.active
-        pos = self._step % cycle_len
+        pos, cycle_len = state
         if self._active and pos == cycle_len - 1:
             jax.profiler.stop_trace()
             self._active = False

@@ -68,3 +68,60 @@ def test_semantic_slam_keyframes_and_graph(rng):
     assert ate < 0.15, ate
     assert len(slam.kf_R) >= 2
     assert len(slam.edges) >= 1
+
+
+def test_loop_closure_reduces_drift(rng):
+    """A drifted keyframe chain returning to its start: the ICP-verified loop
+    edge + pose-graph solve must cut ATE well below the drifted chain's
+    (the internalized FAST-LIO2-style back-end claim, SURVEY.md section 2.9)."""
+    world = _structured_world(rng)
+    cfg = SlamConfig(loop_min_gap=10, loop_max_dist=4.0, loop_min_inliers=200,
+                     keyframe_scan_size=2048)
+    slam = SemanticSLAM(cfg)
+
+    # square loop, 0.5 m steps, ending back at the origin
+    steps = (
+        [(0.5 * i, 0.0) for i in range(8)]
+        + [(3.5, 0.5 * i) for i in range(1, 8)]
+        + [(3.5 - 0.5 * i, 3.5) for i in range(1, 8)]
+        + [(0.0, 3.5 - 0.5 * i) for i in range(1, 8)]
+    )
+    gt = np.array([[x, y, 0.0] for x, y in steps], np.float32)
+    K = len(gt)
+    # odometry drift grows linearly along the trajectory
+    drift = np.cumsum(np.tile([0.02, 0.012, 0.0], (K, 1)), axis=0).astype(np.float32)
+    drift[0] = 0
+    est = gt + drift
+
+    for k in range(K):
+        # keyframe scan: the world observed from the TRUE pose
+        scan = (world - gt[k]).astype(np.float32)
+        keep = np.linalg.norm(scan, axis=1) < 30
+        scan = scan[keep][: cfg.keyframe_scan_size]
+        stored = np.zeros((cfg.keyframe_scan_size, 3), np.float32)
+        stored_valid = np.zeros(cfg.keyframe_scan_size, bool)
+        stored[: len(scan)] = scan
+        stored_valid[: len(scan)] = True
+        slam.kf_R.append(np.eye(3, dtype=np.float32))
+        slam.kf_t.append(est[k].copy())
+        slam.kf_scan.append(stored)
+        slam.kf_scan_valid.append(stored_valid)
+        slam.kf_frame.append(k)
+        if k > 0:
+            # sequential edges consistent with the DRIFTED chain (the graph
+            # alone cannot undo drift; only the loop edge can)
+            slam.edges.append(
+                (k - 1, k, np.eye(3, dtype=np.float32), est[k] - est[k - 1], 1.0)
+            )
+
+    from pointcept_keypointdetection_tpu.slam.evaluate import absolute_trajectory_error
+
+    ate_before, _ = absolute_trajectory_error(np.stack(slam.kf_t), gt, align=False)
+    n_edges = len(slam.edges)
+    slam._try_loop_closure(K - 1)
+    assert len(slam.edges) == n_edges + 1, "loop closure not detected/verified"
+    j, k_, _, Z_t, w = slam.edges[-1][0], slam.edges[-1][1], *slam.edges[-1][2:]
+    assert k_ - j >= cfg.loop_min_gap and w == 2.0
+    slam._optimize_graph()
+    ate_after, _ = absolute_trajectory_error(np.stack(slam.kf_t), gt, align=False)
+    assert ate_after < ate_before * 0.5, (ate_before, ate_after)

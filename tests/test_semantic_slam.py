@@ -125,3 +125,62 @@ def test_loop_closure_reduces_drift(rng):
     slam._optimize_graph()
     ate_after, _ = absolute_trajectory_error(np.stack(slam.kf_t), gt, align=False)
     assert ate_after < ate_before * 0.5, (ate_before, ate_after)
+
+
+def test_run_slam_cli_full_backend(rng, tmp_path, monkeypatch, capsys):
+    """tools/run_slam.py with a `slam` config section drives the full
+    SemanticSLAM back-end (keyframes/loop/pose-graph) over a synthetic KITTI
+    sequence layout and reports ATE/RPE."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    world = _structured_world(rng)
+
+    seq_dir = tmp_path / "dataset" / "sequences" / "00" / "velodyne"
+    seq_dir.mkdir(parents=True)
+    gt = []
+    for i in range(6):
+        t = np.array([0.6 * i, 0.0, 0.0], np.float32)
+        gt.append(t)
+        scan = (world - t).astype(np.float32)
+        keep = np.linalg.norm(scan, axis=1) < 40
+        scan = scan[keep]
+        data = np.concatenate([scan, np.ones((len(scan), 1), np.float32)], axis=1)
+        data.tofile(seq_dir / f"{i:06d}.bin")
+    poses_dir = tmp_path / "dataset" / "poses"
+    poses_dir.mkdir()
+    rows = []
+    for t in gt:
+        P = np.eye(4)[:3]
+        P[:, 3] = t
+        rows.append(P.reshape(-1))
+    np.savetxt(poses_dir / "00.txt", np.stack(rows), fmt="%.6f")
+
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        f"""
+data_root = {str(tmp_path)!r}
+sequence = "00"
+max_frames = None
+semantic = dict(enabled=False)
+odometry = dict(
+    scan_capacity=2048, map_capacity=8192, scan_voxel=0.4, map_voxel=0.4,
+    icp_iters=6, max_corr_dist=1.5, min_range=0.0, max_range=60.0,
+    map_origin=(-60.0, -60.0, -20.0), map_radius=120.0,
+)
+slam = dict(
+    keyframe_dist=0.5, loop_closure=False, optimize_every=3,
+    keyframe_scan_size=1024,
+)
+save_path = {str(tmp_path / 'exp')!r}
+"""
+    )
+    import run_slam
+
+    monkeypatch.setattr(sys, "argv", ["run_slam.py", "--config-file", str(cfg)])
+    run_slam.main()
+    out = capsys.readouterr().out
+    assert "ATE RMSE" in out
+    ate = float(out.split("ATE RMSE:")[1].split("m")[0])
+    assert ate < 0.5, out
+    assert (tmp_path / "exp" / "traj_00.txt").exists()

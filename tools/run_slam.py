@@ -51,31 +51,44 @@ def main():
         dynamic = tuple(cfg.semantic.get("dynamic_classes", ()))
         semantic_infer = _build_semseg(cfg)
 
-    odo = LidarOdometry(OdometryConfig(dynamic_classes=dynamic, **{
+    odo_cfg = OdometryConfig(dynamic_classes=dynamic, **{
         k: v for k, v in dict(cfg.odometry).items()
-    }))
+    })
+    slam_opts = dict(cfg.get("slam", {}))
+    if slam_opts:
+        # full back-end (config #4): keyframes + loop closure + pose graph
+        from pointcept_keypointdetection_tpu.slam.semantic_slam import (
+            SemanticSLAM,
+            SlamConfig,
+        )
+
+        engine = SemanticSLAM(SlamConfig(odometry=odo_cfg, **slam_opts))
+    else:
+        engine = LidarOdometry(odo_cfg)
 
     t0 = time.time()
     for i, path in enumerate(scans):
         scan = read_scan(path)
         labels = semantic_infer(scan) if semantic_infer else None
-        odo.process(scan, labels)
+        engine.process(scan, labels)
         if (i + 1) % 50 == 0:
             print(f"[{i + 1}/{len(scans)}] {(i + 1) / (time.time() - t0):.2f} scans/s")
     elapsed = time.time() - t0
     print(f"Processed {len(scans)} scans in {elapsed:.1f}s ({len(scans) / elapsed:.2f} scans/s)")
 
     os.makedirs(cfg.save_path, exist_ok=True)
-    traj = np.stack([p[:3].reshape(-1) for p in odo.poses])
+    poses = engine.odo.poses if slam_opts else engine.poses
+    positions = engine.positions
+    traj = np.stack([p[:3].reshape(-1) for p in poses])
     np.savetxt(os.path.join(cfg.save_path, f"traj_{seq}.txt"), traj, fmt="%.6f")
 
     gt_file = os.path.join(cfg.data_root, "dataset", "poses", f"{seq}.txt")
     if os.path.exists(gt_file):
-        gt = load_kitti_poses(gt_file)[: len(odo.poses), :3, 3]
+        gt = load_kitti_poses(gt_file)[: len(poses), :3, 3]
         # KITTI gt poses are in the left-camera frame; compare xyz trajectories
         # after Umeyama alignment (absorbs the cam-velodyne extrinsic).
-        ate, _ = absolute_trajectory_error(odo.positions, gt, align=True)
-        rpe, _ = relative_pose_error(odo.positions, gt, delta=10)
+        ate, _ = absolute_trajectory_error(positions, gt, align=True)
+        rpe, _ = relative_pose_error(positions, gt, delta=10)
         print(f"ATE RMSE: {ate:.3f} m   RPE@10: {rpe:.3f} m")
 
 

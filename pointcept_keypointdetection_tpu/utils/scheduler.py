@@ -49,7 +49,16 @@ def MultiStepWithWarmupLR(
 
 @SCHEDULERS.register_module()
 def PolyLR(total_steps: int, base_lr: float, power: float = 0.9):
-    return optax.polynomial_schedule(base_lr, 0.0, power, total_steps)
+    # reference formula exactly: base_lr * (1 - s/(total+1))^power
+    # (`scheduler.py:71-83`; optax.polynomial_schedule divides by total,
+    # which diverges relatively at the schedule tail)
+    def schedule(step):
+        import jax.numpy as jnp
+
+        frac = jnp.clip(1.0 - step / (total_steps + 1), 0.0, 1.0)
+        return base_lr * frac**power
+
+    return schedule
 
 
 @SCHEDULERS.register_module()

@@ -48,6 +48,7 @@ def associate_instances(
             dict(instance_id=ids[i], vert_count=counts[i], matched_pred=[])
         )
 
+    uid = 0
     for p in range(len(pred_classes)):
         c = int(pred_classes[p])
         if c in segment_ignore_index or c not in pr:
@@ -57,11 +58,13 @@ def associate_instances(
         if vert < MIN_REGION_SIZE:
             continue
         inst = dict(
+            uid=uid,
             confidence=float(pred_scores[p]),
             vert_count=vert,
             void_intersection=int(np.logical_and(void_mask, mask).sum()),
             matched_gt=[],
         )
+        uid += 1
         for g in gt[c]:
             inter = int(np.logical_and(instance == g["instance_id"], mask).sum())
             if inter > 0:
@@ -72,84 +75,112 @@ def associate_instances(
 
 
 def evaluate_matches(scenes: List[dict], class_ids: Sequence[int]):
-    """AP per (class, overlap) over the scene association structures."""
+    """AP per (class, overlap) over the scene association structures.
+
+    Exact ScanNet-devkit semantics (verified numerically against the
+    reference implementation in tests/test_reference_oracle.py):
+    greedy highest-priority matching with a per-overlap visited set, GT
+    min-region filtering, void/small-GT forgiveness for unmatched
+    predictions, and threshold-wise precision/recall integrated with the
+    [-0.5, 0, 0.5] convolution step widths
+    (`engines/hooks/evaluator.py:344-546`).
+    """
     ap = np.zeros((len(class_ids), len(OVERLAPS)))
-    for oi, overlap in enumerate(OVERLAPS):
+    for oi, overlap_th in enumerate(OVERLAPS):
+        # scene-local visited sets: one prediction may satisfy only one gt
+        visited = {}
+        for si, scene in enumerate(scenes):
+            for c in class_ids:
+                for m in scene["pr"].get(c, []):
+                    visited[(si, m["uid"])] = False
         for ci, c in enumerate(class_ids):
             y_true, y_score = [], []
             hard_false_negatives = 0
             has_gt = has_pred = False
-            for scene in scenes:
-                gts = scene["gt"].get(c, [])
+            for si, scene in enumerate(scenes):
                 preds = scene["pr"].get(c, [])
+                gts = [g for g in scene["gt"].get(c, []) if g["vert_count"] >= MIN_REGION_SIZE]
                 has_gt |= len(gts) > 0
                 has_pred |= len(preds) > 0
-                cur_true = np.ones(len(gts))
-                cur_score = np.full(len(gts), -np.inf)
-                cur_match = np.zeros(len(gts), bool)
-                taken = set()
+
+                cur_true = list(np.ones(len(gts)))
+                cur_score = list(np.full(len(gts), -np.inf))
+                cur_match = list(np.zeros(len(gts), bool))
                 for gi, g in enumerate(gts):
                     found = False
                     for m in g["matched_pred"]:
+                        if visited[(si, m["uid"])]:
+                            continue
                         iou = m["intersection"] / (
                             g["vert_count"] + m["vert_count"] - m["intersection"]
                         )
-                        if iou > overlap:
+                        if iou > overlap_th:
                             conf = m["confidence"]
                             if cur_match[gi]:
-                                # keep highest-confidence match; demote the other
-                                if conf > cur_score[gi]:
-                                    y_true.append(0)
-                                    y_score.append(cur_score[gi])
-                                    cur_score[gi] = conf
-                                else:
-                                    y_true.append(0)
-                                    y_score.append(conf)
+                                # lower-confidence duplicate match -> FP
+                                hi, lo = max(cur_score[gi], conf), min(cur_score[gi], conf)
+                                cur_score[gi] = hi
+                                cur_true.append(0.0)
+                                cur_score.append(lo)
+                                cur_match.append(True)
                             else:
                                 found = True
                                 cur_match[gi] = True
                                 cur_score[gi] = conf
+                                visited[(si, m["uid"])] = True
                     if not found:
                         hard_false_negatives += 1
-                for gi in range(len(gts)):
-                    if cur_match[gi]:
-                        y_true.append(1)
-                        y_score.append(cur_score[gi])
-                # unmatched predictions -> false positives (void-forgiven)
+                for t, sc, mt in zip(cur_true, cur_score, cur_match):
+                    if mt:
+                        y_true.append(t)
+                        y_score.append(sc)
+
+                # unmatched predictions -> false positives unless mostly void
                 for m in preds:
                     matched = any(
                         m2["intersection"]
                         / (m2["vert_count"] + m["vert_count"] - m2["intersection"])
-                        > overlap
+                        > overlap_th
                         for m2 in m["matched_gt"]
                     )
                     if not matched:
-                        non_void = m["vert_count"] - m["void_intersection"]
-                        # points on smaller-overlap gt of same class also forgiven
+                        num_ignore = m["void_intersection"]
                         for m2 in m["matched_gt"]:
-                            non_void -= m2["intersection"]
-                        if non_void / max(m["vert_count"], 1) > overlap:
-                            y_true.append(0)
+                            # overlaps with too-small gt instances are forgiven
+                            if m2["vert_count"] < MIN_REGION_SIZE:
+                                num_ignore += m2["intersection"]
+                        if num_ignore / max(m["vert_count"], 1) <= overlap_th:
+                            y_true.append(0.0)
                             y_score.append(m["confidence"])
-            if not has_gt:
-                ap[ci, oi] = np.nan
-                continue
-            if not y_score:
+
+            if has_gt and has_pred and y_score:
+                order = np.argsort(np.asarray(y_score))
+                ys = np.asarray(y_score)[order]
+                yt = np.asarray(y_true)[order]
+                yt_cum = np.cumsum(yt)
+                thresholds, unique_indices = np.unique(ys, return_index=True)
+                npr = len(unique_indices) + 1
+                num_examples = len(ys)
+                num_true = yt_cum[-1] if len(yt_cum) else 0
+                precision = np.zeros(npr)
+                recall = np.zeros(npr)
+                yt_cum = np.append(yt_cum, 0)
+                for idx_res, idx_scores in enumerate(unique_indices):
+                    cumsum = yt_cum[idx_scores - 1]
+                    tp = num_true - cumsum
+                    fp = num_examples - idx_scores - tp
+                    fn = cumsum + hard_false_negatives
+                    precision[idx_res] = float(tp) / (tp + fp)
+                    recall[idx_res] = float(tp) / (tp + fn) if (tp + fn) else 0.0
+                precision[-1] = 1.0
+                recall[-1] = 0.0
+                r_conv = np.append(np.append(recall[0], recall), 0.0)
+                step = np.convolve(r_conv, [-0.5, 0, 0.5], "valid")
+                ap[ci, oi] = float(np.dot(precision, step))
+            elif has_gt:
                 ap[ci, oi] = 0.0
-                continue
-            order = np.argsort(-np.asarray(y_score))
-            y = np.asarray(y_true)[order]
-            tp = np.cumsum(y)
-            fp = np.cumsum(1 - y)
-            total_gt = tp[-1] + hard_false_negatives if len(tp) else hard_false_negatives
-            precision = tp / np.maximum(tp + fp, 1)
-            recall = tp / max(total_gt, 1)
-            # standard AP: integrate precision over recall
-            prec = np.concatenate([[1.0], precision, [0.0]])
-            rec = np.concatenate([[0.0], recall, [recall[-1] if len(recall) else 0.0]])
-            for i in range(len(prec) - 2, -1, -1):
-                prec[i] = max(prec[i], prec[i + 1])
-            ap[ci, oi] = np.sum((rec[1:] - rec[:-1]) * prec[1:])
+            else:
+                ap[ci, oi] = np.nan
     return ap
 
 

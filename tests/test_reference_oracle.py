@@ -37,9 +37,10 @@ class _StubRegistry:
         return deco
 
 
-def _load_ref(relpath, name, stubs=()):
+def _load_ref(relpath, name, stubs=(), absolute_stubs=()):
     """Load one reference module by path; relative imports resolve against a
-    synthetic package whose submodules are no-op registries."""
+    synthetic package whose submodules are no-op registries; unavailable
+    absolute imports (wandb, pointops, ...) become empty attribute sinks."""
     pkg_name = "refora"
     if pkg_name not in sys.modules:
         pkg = types.ModuleType(pkg_name)
@@ -47,9 +48,22 @@ def _load_ref(relpath, name, stubs=()):
         sys.modules[pkg_name] = pkg
     for stub in stubs:
         mod = types.ModuleType(f"{pkg_name}.{stub}")
-        for attr in ("LOSSES", "SCHEDULERS", "MODELS", "Registry"):
+        for attr in ("LOSSES", "SCHEDULERS", "MODELS", "Registry", "HOOKS"):
             setattr(mod, attr, _StubRegistry() if attr != "Registry" else _StubRegistry)
+        mod.HookBase = object
         sys.modules[f"{pkg_name}.{stub}"] = mod
+    for abs_name in absolute_stubs:
+        if abs_name in sys.modules:
+            continue
+        mod = types.ModuleType(abs_name)
+        mod.__path__ = []
+        mod.__getattr__ = lambda _attr: (lambda *a, **k: None)
+        sys.modules[abs_name] = mod
+        # wire dotted children onto their parents so `import a.b.c as c` works
+        if "." in abs_name:
+            parent, child = abs_name.rsplit(".", 1)
+            if parent in sys.modules:
+                setattr(sys.modules[parent], child, mod)
     spec = importlib.util.spec_from_file_location(
         f"{pkg_name}.{name}", os.path.join(REF, relpath)
     )
@@ -221,3 +235,123 @@ def test_exp_lr_parity(ref_sched):
     ours = build_scheduler(dict(type="ExpLR", gamma=0.7), total, base)
     got = np.asarray([float(ours(s)) for s in range(total)])
     np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# instance segmentation AP matcher (ScanNet-style)
+# ---------------------------------------------------------------------------
+
+
+def test_insseg_ap_matcher_parity(rng):
+    """Our associate/evaluate/summarize pipeline must reproduce the
+    reference's AP matrix on random noisy instance predictions."""
+    import types
+
+    import torch
+
+    ref_ev_mod = _load_ref(
+        "pointcept/engines/hooks/evaluator.py",
+        "ref_evaluator",
+        stubs=("default", "builder"),
+        absolute_stubs=(
+            "wandb",
+            "pointops",
+            "pointcept",
+            "pointcept.utils",
+            "pointcept.utils.comm",
+            "pointcept.utils.misc",
+        ),
+    )
+
+    from pointcept_keypointdetection_tpu.engines.hooks.insseg_evaluator import (
+        OVERLAPS,
+        associate_instances,
+        evaluate_matches,
+        summarize_ap,
+    )
+
+    K = 5
+    seg_ignore = (-1, 0)
+    names = [f"class{i}" for i in range(K)]
+
+    def make_scene(seed):
+        r = np.random.default_rng(seed)
+        n = 3000
+        # ground truth: 6 instances across classes 1..4
+        instance = np.full(n, -1, np.int64)
+        segment = np.full(n, -1, np.int64)
+        start = 0
+        insts = []
+        for i in range(6):
+            size = int(r.integers(150, 500))
+            cls = int(r.integers(1, K))
+            instance[start : start + size] = i
+            segment[start : start + size] = cls
+            insts.append((i, cls, start, size))
+            start += size
+        segment[start:] = 0  # ignored background
+
+        # predictions: noisy copies of gt + one spurious
+        pred_masks, pred_classes, pred_scores = [], [], []
+        for i, cls, s, size in insts:
+            m = np.zeros(n, bool)
+            keep = r.random(size) > 0.25  # drop 25%
+            m[s : s + size] = keep
+            extra = r.integers(0, n, 60)
+            m[extra] = True  # bleed into other regions
+            pred_masks.append(m)
+            pred_classes.append(cls if r.random() > 0.2 else int(r.integers(1, K)))
+            pred_scores.append(float(r.random()))
+        m = np.zeros(n, bool)
+        m[r.integers(0, n, 400)] = True
+        pred_masks.append(m)
+        pred_classes.append(int(r.integers(1, K)))
+        pred_scores.append(float(r.random()))
+        return (
+            np.asarray(pred_classes, np.int64),
+            np.asarray(pred_scores, np.float32),
+            np.stack(pred_masks),
+            segment,
+            instance,
+        )
+
+    # reference evaluator with a faked trainer context
+    ev = ref_ev_mod.InsSegEvaluator(
+        segment_ignore_index=seg_ignore, instance_ignore_index=-1
+    )
+    ev.trainer = types.SimpleNamespace(
+        cfg=types.SimpleNamespace(
+            data=types.SimpleNamespace(names=names, num_classes=K)
+        )
+    )
+    ev.valid_class_names = [names[i] for i in range(K) if i not in seg_ignore]
+
+    ref_scenes, our_scenes = [], []
+    for seed in range(3):
+        pc, ps, pm, segment, instance = make_scene(seed)
+        pred = dict(pred_classes=pc, pred_scores=ps, pred_masks=pm)
+        gt_i, pr_i = ev.associate_instances(
+            pred, torch.from_numpy(segment), torch.from_numpy(instance)
+        )
+        ref_scenes.append(dict(gt=gt_i, pred=pr_i))
+        gt_o, pr_o = associate_instances(
+            pc, ps, pm, segment, instance, K,
+            segment_ignore_index=seg_ignore, instance_ignore_index=-1,
+        )
+        our_scenes.append(dict(gt=gt_o, pr=pr_o))
+
+    ref_scores = ev.evaluate_matches(ref_scenes)
+
+    class_ids = [i for i in range(K) if i not in seg_ignore]
+    our_ap = evaluate_matches(our_scenes, class_ids)
+    assert our_ap.shape == (len(class_ids), len(OVERLAPS))
+    all_ap, ap50, ap25 = summarize_ap(our_ap)
+
+    assert all_ap == pytest.approx(ref_scores["all_ap"], abs=1e-9)
+    assert ap50 == pytest.approx(ref_scores["all_ap_50%"], abs=1e-9)
+    assert ap25 == pytest.approx(ref_scores["all_ap_25%"], abs=1e-9)
+    # per-class AP over the main overlap range
+    main = ~np.isclose(OVERLAPS, 0.25)
+    for ci, c in enumerate(class_ids):
+        ref_cls = ref_scores["classes"][names[c]]["ap"]
+        assert np.nanmean(our_ap[ci, main]) == pytest.approx(ref_cls, abs=1e-9), names[c]

@@ -82,15 +82,27 @@ class FocalLoss:
         self.ignore_index = ignore_index
 
     def __call__(self, pred, target, valid=None):
+        # reference semantics (`losses/misc.py:97-173`): per-class SIGMOID
+        # focal terms over one-hot targets, averaged over valid rows x classes
         ok = _valid_and_not_ignored(target, self.ignore_index, valid)
         tgt = jnp.where(ok, target, 0)
-        logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
-        logpt = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-        pt = jnp.exp(logpt)
-        loss = -self.alpha * jnp.power(1.0 - pt, self.gamma) * logpt
+        k = pred.shape[-1]
+        onehot = jax.nn.one_hot(tgt, k, dtype=jnp.float32)
+        logits = pred.astype(jnp.float32)
+        p = jax.nn.sigmoid(logits)
+        ce = -(
+            onehot * jax.nn.log_sigmoid(logits)
+            + (1 - onehot) * jax.nn.log_sigmoid(-logits)
+        )
+        one_minus_pt = (1 - p) * onehot + p * (1 - onehot)
+        focal_w = (self.alpha * onehot + (1 - self.alpha) * (1 - onehot)) * jnp.power(
+            one_minus_pt, self.gamma
+        )
+        loss = ce * focal_w * ok[..., None]
         if self.reduction == "sum":
-            return self.loss_weight * jnp.sum(loss * ok)
-        return self.loss_weight * _masked_mean(loss, ok)
+            return self.loss_weight * jnp.sum(loss)
+        denom = jnp.maximum(jnp.sum(ok) * k, 1.0)
+        return self.loss_weight * jnp.sum(loss) / denom
 
 
 @LOSSES.register_module()

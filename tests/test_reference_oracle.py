@@ -37,6 +37,16 @@ class _StubRegistry:
         return deco
 
 
+class _IdentityCompose:
+    """Stands in for the reference Compose when no transforms are configured."""
+
+    def __init__(self, cfg=None):
+        pass
+
+    def __call__(self, data_dict):
+        return data_dict
+
+
 def _load_ref(relpath, name, stubs=(), absolute_stubs=()):
     """Load one reference module by path; relative imports resolve against a
     synthetic package whose submodules are no-op registries; unavailable
@@ -48,7 +58,7 @@ def _load_ref(relpath, name, stubs=(), absolute_stubs=()):
         sys.modules[pkg_name] = pkg
     for stub in stubs:
         mod = types.ModuleType(f"{pkg_name}.{stub}")
-        for attr in ("LOSSES", "SCHEDULERS", "MODELS", "Registry", "HOOKS"):
+        for attr in ("LOSSES", "SCHEDULERS", "MODELS", "Registry", "HOOKS", "DATASETS", "TRANSFORMS"):
             setattr(mod, attr, _StubRegistry() if attr != "Registry" else _StubRegistry)
         mod.HookBase = object
         sys.modules[f"{pkg_name}.{stub}"] = mod
@@ -58,6 +68,9 @@ def _load_ref(relpath, name, stubs=(), absolute_stubs=()):
         mod = types.ModuleType(abs_name)
         mod.__path__ = []
         mod.Registry = _StubRegistry
+        mod.DATASETS = _StubRegistry()
+        mod.TRANSFORMS = _StubRegistry()
+        mod.Compose = _IdentityCompose
 
         def _stub_getattr(attr):
             # inspect & friends probe dunders on modules; answering them with
@@ -565,3 +578,121 @@ def test_gridsample_train_mode_parity(rng):
         np.sort(voxel_of(ref_out["coord"], 0.15)),
         np.sort(voxel_of(our_out["coord"], 0.15)),
     )
+
+
+# ---------------------------------------------------------------------------
+# the fork's keypoint datasets: identical normalization + online targets
+# ---------------------------------------------------------------------------
+
+
+def _keypoint_fixture(tmp_path, rng, n=600, k=6):
+    split = tmp_path / "train"
+    (split / "pointclouds").mkdir(parents=True)
+    (split / "keypoints").mkdir()
+    cloud = np.concatenate(
+        [rng.uniform(0, 800, (n, 3)), rng.normal(size=(n, 4))], axis=1
+    ).astype(np.float32)
+    kp = rng.uniform(100, 700, (k, 3)).astype(np.float32)
+    np.save(split / "pointclouds" / "20260329_105410.npy", cloud)
+    np.save(split / "keypoints" / "20260329_105410_关键点坐标.npy", kp)
+    return str(tmp_path)
+
+
+def _ref_dataset_module(fname, name):
+    # stub .transform with an identity Compose (no transforms configured)
+    class _Compose:
+        def __init__(self, cfg=None):
+            pass
+
+        def __call__(self, d):
+            return d
+
+    mod = _load_ref(
+        f"pointcept/datasets/{fname}", name, stubs=("builder", "transform")
+    )
+    return mod, _Compose
+
+
+def test_keypoint_dataset_normalization_parity(rng, tmp_path):
+    # patch the stubbed Compose BEFORE loading (module binds it at import)
+    pkg = "refora"
+    import types as _t
+
+    tmod = _t.ModuleType(f"{pkg}.transform")
+
+    class _Compose:
+        def __init__(self, cfg=None):
+            pass
+
+        def __call__(self, d):
+            return d
+
+    tmod.Compose = _Compose
+    tmod.TRANSFORMS = _StubRegistry()
+    sys.modules[f"{pkg}.transform"] = tmod
+    ref_mod = _load_ref(
+        "pointcept/datasets/keypoint_dataset.py", "ref_kpds", stubs=("builder",)
+    )
+
+    from pointcept_keypointdetection_tpu.datasets import DATASETS
+
+    root = _keypoint_fixture(tmp_path, rng)
+    ref_ds = ref_mod.KeypointDataset(split="train", data_root=root, transform=None)
+    our_ds = DATASETS.build(
+        dict(type="KeypointDataset", split="train", data_root=root, transform=[])
+    )
+    r = ref_ds[0]
+    o = our_ds[0]
+    np.testing.assert_allclose(np.asarray(o["coord"]), np.asarray(r["coord"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(o["keypoint"]), np.asarray(r["target"]), rtol=1e-6)
+    np.testing.assert_allclose(float(o["scale"]), float(r["scale"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(o["centroid"]), np.asarray(r["centroid"]), rtol=1e-6)
+
+
+def test_offset_keypoint_dataset_parity(rng, tmp_path):
+    pkg = "refora"
+    import types as _t
+
+    tmod = _t.ModuleType(f"{pkg}.transform")
+
+    class _Compose:
+        def __init__(self, cfg=None):
+            pass
+
+        def __call__(self, d):
+            return d
+
+    tmod.Compose = _Compose
+    tmod.TRANSFORMS = _StubRegistry()
+    sys.modules[f"{pkg}.transform"] = tmod
+    # this module imports pointcept.datasets.{builder,transform} ABSOLUTELY
+    for mname in ("pointcept.datasets.builder", "pointcept.datasets.transform"):
+        sys.modules.pop(mname, None)
+    ref_mod = _load_ref(
+        "pointcept/datasets/offset_keypoint_dataset.py", "ref_okpds", stubs=("builder",),
+        absolute_stubs=("pointcept", "pointcept.datasets",
+                        "pointcept.datasets.builder", "pointcept.datasets.transform"),
+    )
+
+    from pointcept_keypointdetection_tpu.datasets import DATASETS
+
+    root = _keypoint_fixture(tmp_path, rng)
+    ref_ds = ref_mod.OffsetKeypointDataset(
+        split="train", data_root=root, transform=None, offset_radius=300.0
+    )
+    our_ds = DATASETS.build(
+        dict(type="OffsetKeypointDataset", split="train", data_root=root,
+             transform=[], offset_radius=300.0)
+    )
+    r = ref_ds[0]
+    o = our_ds[0]
+    np.testing.assert_allclose(np.asarray(o["coord"]), np.asarray(r["coord"]), rtol=1e-6)
+    # reference packs (offset*mask, mask) into target [N, K, 4]
+    ref_target = np.asarray(r["target"])
+    our_offset = np.asarray(o["keypoint_offset"])
+    our_mask = np.asarray(o["keypoint_mask"])
+    np.testing.assert_allclose(our_mask, ref_target[..., 3], rtol=1e-6)
+    np.testing.assert_allclose(
+        our_offset * our_mask[..., None], ref_target[..., :3], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(float(o["scale"]), float(r["scale"]), rtol=1e-6)

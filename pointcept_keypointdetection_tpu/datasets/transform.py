@@ -118,11 +118,12 @@ class ToTensor:
 
 @TRANSFORMS.register_module()
 class NormalizeColor:
-    """color/127.5 - 1 (`transform.py:268-276`)"""
+    """color/255 -> [0, 1] (`transform.py:141-145`; this fork's convention —
+    older upstream Pointcept used color/127.5 - 1)."""
 
     def __call__(self, data_dict):
         if "color" in data_dict:
-            data_dict["color"] = data_dict["color"] / 127.5 - 1
+            data_dict["color"] = data_dict["color"] / 255
         return data_dict
 
 

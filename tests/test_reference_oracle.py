@@ -696,3 +696,66 @@ def test_offset_keypoint_dataset_parity(rng, tmp_path):
         our_offset * our_mask[..., None], ref_target[..., :3], rtol=1e-5, atol=1e-6
     )
     np.testing.assert_allclose(float(o["scale"]), float(r["scale"]), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# deterministic transforms + OneCycleLR
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_transform():
+    return _load_ref(
+        "pointcept/datasets/transform.py",
+        "ref_transform",
+        absolute_stubs=("torchvision", "pointcept", "pointcept.utils",
+                        "pointcept.utils.registry"),
+    )
+
+
+def test_deterministic_transforms_parity(rng, ref_transform):
+    from pointcept_keypointdetection_tpu.datasets.transform import TRANSFORMS
+
+    coord = rng.uniform(-50, 90, (1000, 3)).astype(np.float32)
+    color = rng.uniform(0, 255, (1000, 3)).astype(np.float32)
+
+    cases = [
+        (ref_transform.CenterShift(apply_z=True), dict(type="CenterShift", apply_z=True)),
+        (ref_transform.CenterShift(apply_z=False), dict(type="CenterShift", apply_z=False)),
+        (ref_transform.NormalizeColor(), dict(type="NormalizeColor")),
+        (ref_transform.NormalizeCoord(), dict(type="NormalizeCoord")),
+        (
+            ref_transform.PointClip(point_cloud_range=(-40, -40, -2, 40, 40, 1)),
+            dict(type="PointClip", point_cloud_range=(-40, -40, -2, 40, 40, 1)),
+        ),
+    ]
+    for ref_t, our_cfg in cases:
+        r = ref_t(dict(coord=coord.copy(), color=color.copy()))
+        o = TRANSFORMS.build(dict(our_cfg))(dict(coord=coord.copy(), color=color.copy()))
+        np.testing.assert_allclose(
+            np.asarray(o["coord"]), np.asarray(r["coord"]), rtol=1e-6, atol=1e-6,
+            err_msg=str(our_cfg),
+        )
+        np.testing.assert_allclose(
+            np.asarray(o["color"]), np.asarray(r["color"]), rtol=1e-6,
+            err_msg=str(our_cfg),
+        )
+
+
+def test_onecycle_lr_parity(ref_sched):
+    from pointcept_keypointdetection_tpu.utils.scheduler import build_scheduler
+
+    total, max_lr = 250, 0.01
+    kwargs = dict(pct_start=0.05, div_factor=10.0, final_div_factor=1000.0)
+    ref = _ref_lr_curve(
+        ref_sched.OneCycleLR, total, max_lr / kwargs["div_factor"],
+        max_lr=max_lr, anneal_strategy="cos", cycle_momentum=False, **kwargs
+    )
+    ours = build_scheduler(dict(type="OneCycleLR", **kwargs), total, max_lr)
+    got = np.asarray([float(ours(s)) for s in range(total)])
+    # same cosine-onecycle shape up to torch's step indexing
+    assert abs(got.max() - ref.max()) / ref.max() < 1e-3
+    assert np.argmax(got) == pytest.approx(np.argmax(ref), abs=2)
+    # pointwise within 5% of max_lr (off-by-one phase boundaries), tight in bulk
+    assert np.max(np.abs(got - ref)) < 0.05 * max_lr, np.max(np.abs(got - ref))
+    assert np.percentile(np.abs(got - ref), 90) < 0.01 * max_lr

@@ -14,3 +14,19 @@ Conventional import alias::
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS through jax.config BEFORE any backend initializes: the
+# container's sitecustomize registers an external TPU platform whose backend
+# hook ignores the env var, so a CPU-only run (tests, preprocessing, tools
+# under JAX_PLATFORMS=cpu) would still dial the TPU tunnel — and hang forever
+# when the tunnel is down.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+del _os

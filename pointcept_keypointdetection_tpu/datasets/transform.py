@@ -536,6 +536,8 @@ class ContrastiveViewsGenerator:
             out[f"view{i}_origin"] = view["origin"].astype(np.int64)
             if i == 1 and "color" in view:
                 out["view1_color_target"] = view["color"].astype(np.float32)
+            if i == 1 and "normal" in view:
+                out["view1_normal_target"] = view["normal"].astype(np.float32)
         # keep a primary cloud for PointBatch plumbing (view1)
         out["coord"] = out["view1_coord"]
         out["feat"] = out["view1_feat"]

@@ -165,13 +165,26 @@ class MaskedSceneContrast(nn.Module):
 
         if self.reconstruct_color and "view1_color_target" in batch:
             pred = nn.Dense(3, name="color_head")(f1)
-            # normalize raw 0..255 color to [-1, 1] (reference reconstructs
-            # normalized signals; keeps the loss O(1) vs the InfoNCE term)
-            target = batch["view1_color_target"] / 127.5 - 1.0
+            # the target is reconstructed AS the pipeline provides it — the
+            # reference applies NormalizeColor inside the view transforms and
+            # regresses those [0, 1] values raw
+            # (`masked_scene_contrast_v1m1_base.py:274-286`); rescaling here
+            # would squash already-normalized colors to a constant
+            target = batch["view1_color_target"]
             rw = (masked & v1.valid).astype(jnp.float32)[:, None]
             rec = jnp.sum(jnp.square(pred - target) * rw) / jnp.maximum(jnp.sum(rw) * 3, 1.0)
             out["reconstruct_loss"] = rec
             loss = loss + self.reconstruct_weight * rec
+
+        if self.reconstruct_normal and "view1_normal_target" in batch:
+            # reference reconstructs normals of masked points the same way
+            # (`masked_scene_contrast_v1m1_base.py:288-300`)
+            npred = nn.Dense(3, name="normal_head")(f1)
+            ntarget = batch["view1_normal_target"]
+            rw = (masked & v1.valid).astype(jnp.float32)[:, None]
+            nrec = jnp.sum(jnp.square(npred - ntarget) * rw) / jnp.maximum(jnp.sum(rw) * 3, 1.0)
+            out["normal_loss"] = nrec
+            loss = loss + self.reconstruct_weight * nrec
 
         out["loss"] = loss
         return out

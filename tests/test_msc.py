@@ -29,7 +29,9 @@ def test_match_views_exact(rng):
 
 def _ssl_sample(rng, n=600):
     coord = rng.uniform(0, 2, (n, 3)).astype(np.float32)
-    color = rng.uniform(0, 255, (n, 3)).astype(np.float32)
+    # colors normalized to [0, 1] as every real config does (NormalizeColor
+    # precedes the view generator); the reconstruction target is regressed raw
+    color = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     gen = TRANSFORMS.build(
         dict(
             type="ContrastiveViewsGenerator",

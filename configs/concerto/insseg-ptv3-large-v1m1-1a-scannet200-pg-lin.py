@@ -20,3 +20,11 @@ data = dict(
     val=dict(type="ScanNet200Dataset"),
     test=dict(type="ScanNet200Dataset"),
 )
+
+hooks = [
+    dict(type="CheckpointLoader", keywords="student_backbone.", replacement="backbone."),
+    dict(type="IterationTimer", warmup_iter=2),
+    dict(type="InformationWriter"),
+    dict(type="InsSegEvaluator", segment_ignore_index=(-1, 0, 2), instance_ignore_index=-1),
+    dict(type="CheckpointSaver"),
+]

@@ -24,3 +24,11 @@ data = dict(
     val=dict(type="S3DISDataset", split="Area_5", data_root="data/s3dis"),
     test=dict(type="S3DISDataset", split="Area_5", data_root="data/s3dis"),
 )
+
+hooks = [
+    dict(type="CheckpointLoader", keywords="student_backbone.", replacement="backbone."),
+    dict(type="IterationTimer", warmup_iter=2),
+    dict(type="InformationWriter"),
+    dict(type="InsSegEvaluator", segment_ignore_index=(-1,), instance_ignore_index=-1),
+    dict(type="CheckpointSaver"),
+]

@@ -110,8 +110,8 @@ def collate(
                 # fused scene is the union of both scenes' points, so its
                 # DINO cloud must be the union too — otherwise half the slot
                 # knn-matches a different scene's features)
-                fuse = key == "valid" or key in PER_POINT_KEYS or (
-                    key.startswith("dino_") and key in padded[i + 1]
+                fuse = (
+                    key == "valid" or key in PER_POINT_KEYS or key.startswith("dino_")
                 )
                 if fuse and key in padded[i + 1]:
                     merged[key] = np.concatenate([padded[i][key], padded[i + 1][key]], axis=0)

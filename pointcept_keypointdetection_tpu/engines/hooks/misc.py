@@ -294,8 +294,8 @@ class RuntimeProfilerV2(HookBase):
             return
         pos, _ = state
         if pos == self.wait + self.warmup and not self._active:
-            base = self.save_path or os.path.join(self.trainer.cfg.save_path, "profile")
-            jax.profiler.start_trace(os.path.join(base, f"cycle{self._cycle}"))
+            root = self.save_path or self.trainer.cfg.save_path
+            jax.profiler.start_trace(os.path.join(root, "profile", f"cycle{self._cycle}"))
             self._active = True
 
     def after_step(self):

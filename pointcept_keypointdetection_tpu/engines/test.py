@@ -175,6 +175,16 @@ class SemSegTester(TesterBase):
                     logger.warning(
                         f"{name}: fragment {n} pts > capacity {self.fragment_capacity}; truncating"
                     )
+                    # truncate DETERMINISTICALLY and keep `index` aligned —
+                    # pad_sample's random subsample would decouple row r of
+                    # the forward output from index[r]
+                    frag = {
+                        k: (v[: self.fragment_capacity]
+                            if isinstance(v, np.ndarray) and v.shape[:1] == (n,) else v)
+                        for k, v in frag.items()
+                    }
+                    index = index[: self.fragment_capacity]
+                    n = self.fragment_capacity
                 padded = _pad_fragment(frag, self.fragment_capacity)
                 batch = collate([padded], self.fragment_capacity)
                 batch.update(extras)

@@ -193,23 +193,25 @@ class LanguageGuidedPPT(nn.Module):
         ).reshape(-1).astype(jnp.int32)
         cond = jnp.repeat(cond_per_sample, point.slot_size)  # [N]
 
-        # data-driven context: condition embedding prompts the stem (and the
-        # PDNorm sites when the backbone supports them)
-        embed = self.param(
-            "condition_embedding", nn.initializers.normal(0.02), (M, self.context_channels), jnp.float32
-        )
-        context = jnp.take(embed, jnp.clip(cond, 0, M - 1), axis=0)
-
-        # data-driven context always prompts the stem features (the reference
-        # additionally modulates PDNorm sites with it; injecting at the stem
-        # keeps the embedding trained in both branches)
-        stem_ctx = nn.Dense(point.feat.shape[-1], name="context_proj")(context)
-        point = point.replace(feat=point.feat + stem_ctx.astype(point.feat.dtype))
         bb_cfg = dict(self.backbone)
         bb = build_model(bb_cfg)
         if bb_cfg.get("pdnorm_conditions"):
+            # PDNorm-conditioned backbone: conditioning flows through the
+            # per-condition norm tables only (the reference's context-adaptive
+            # PDNorm modulation delta is documented in docs/migration.md) —
+            # no stem injection, no unused embedding parameters
             feat = bb(point, train=train, condition=cond_per_sample)
         else:
+            # data-driven context: condition embedding prompts the stem
+            embed = self.param(
+                "condition_embedding",
+                nn.initializers.normal(0.02),
+                (M, self.context_channels),
+                jnp.float32,
+            )
+            context = jnp.take(embed, jnp.clip(cond, 0, M - 1), axis=0)
+            stem_ctx = nn.Dense(point.feat.shape[-1], name="context_proj")(context)
+            point = point.replace(feat=point.feat + stem_ctx.astype(point.feat.dtype))
             feat = bb(point, train=train)
 
         if self.backbone_mode:

@@ -15,7 +15,7 @@ mkdir -p "$OUT"
 STAMP=$(date +%Y%m%d)
 tar --exclude='__pycache__' --exclude='.git' --exclude='exp' --exclude='data' \
     -czf "$OUT/pointcept_keypointdetection_tpu_code_$STAMP.tar.gz" \
-    pointcept_keypointdetection_tpu tools configs scripts csrc README.md
+    pointcept_keypointdetection_tpu tools configs scripts README.md
 echo "code -> $OUT/pointcept_keypointdetection_tpu_code_$STAMP.tar.gz"
 if [ -n "$NAME" ] && [ -n "$DATASET" ] && [ -d "exp/$DATASET/$NAME" ]; then
   tar -czf "$OUT/exp_${DATASET}_${NAME}_$STAMP.tar.gz" "exp/$DATASET/$NAME/model" "exp/$DATASET/$NAME/config.py"

@@ -56,3 +56,50 @@ def test_semseg_tester_tta(tmp_path):
     # per-scene prediction files written
     out = os.path.join(cfg.save_path, "result")
     assert any(f.endswith("_pred.npy") for f in os.listdir(out))
+
+
+def test_fragment_truncation_keeps_index_alignment(tmp_path):
+    """A fragment larger than fragment_capacity is truncated DETERMINISTICALLY
+    with `index` kept aligned — probabilities must land on the points that
+    were actually forwarded (regression: random pad_sample subsampling
+    decoupled output row r from index[r])."""
+    from pointcept_keypointdetection_tpu.engines.defaults import default_config_parser
+    from pointcept_keypointdetection_tpu.engines.test import TESTERS
+    from pointcept_keypointdetection_tpu.engines.train import TRAINERS
+
+    cfg = default_config_parser(
+        os.path.join(REPO, "configs", "synthetic", "semseg-spunet-mini.py"),
+        options={
+            "save_path": str(tmp_path / "exp"),
+            "eval_epoch": 1,
+            "slot_size": 1024,
+            "data.train.num_points": 1200,
+            "data.val.num_points": 1200,
+        },
+    )
+    cfg.data.test = dict(
+        type="SyntheticSemSegDataset",
+        split="val",
+        num_scenes=1,
+        num_points=1200,
+        num_classes=6,
+        test_mode=True,
+        transform=[dict(type="CenterShift", apply_z=True), dict(type="NormalizeColor")],
+        test_cfg=dict(
+            voxelize=dict(type="GridSample", grid_size=0.05, mode="test", return_grid_coord=True),
+            crop=None,
+            post_transform=[
+                dict(type="Collect", keys=("coord", "grid_coord", "index"), feat_keys=("coord", "color")),
+            ],
+            aug_transform=[[dict(type="RandomScale", scale=[1.0, 1.0])]],
+        ),
+    )
+    trainer = TRAINERS.build({"type": "DefaultTrainer", "cfg": cfg})
+    trainer.train()
+
+    # capacity SMALLER than the fragment -> truncation path
+    tester = TESTERS.build({"type": "SemSegTester", "cfg": cfg, "fragment_capacity": 512})
+    result = tester.test()
+    assert 0.0 <= result["mIoU"] <= 1.0
+    # truncated coverage still clearly beats random on the covered points
+    assert result["allAcc"] > 0.25, result

@@ -16,17 +16,52 @@ denominator is our documented estimate of the reference's per-GPU PTv3
 inference throughput on ScanNet-size scenes (~8 scenes/s on an A100 with
 flash-attn, per upstream PTv3 latency reports).  BASELINE.json's target is
 2x per-chip, i.e. vs_baseline >= 2.0.
+
+Resilience: the TPU grant behind the axon relay is sometimes UNAVAILABLE for
+minutes at a time (PERF.md pathology 4), and JAX caches a failed backend init
+for the life of the process.  So the measurement runs in a CHILD process; the
+parent retries with backoff on backend-unavailable failures, falls back to a
+CPU measurement as a last resort, and ALWAYS prints the JSON line (round 1
+lost its official number to an rc=1 exit with no JSON).
 """
 
 import functools
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
+REFERENCE_SCENES_PER_SEC = 8.0
+_CHILD_ENV = "PKT_BENCH_CHILD"
+
+# Error signatures that mean "the chip grant is wedged / relay down — retry".
+_RETRYABLE = (
+    "UNAVAILABLE",
+    "Unable to initialize backend",
+    "DEADLINE_EXCEEDED",
+    "RESOURCE_EXHAUSTED",
+    "Socket closed",
+    "failed to connect",
+)
+
+
+def _emit(scenes_per_sec, unit_suffix=""):
+    print(
+        json.dumps(
+            {
+                "metric": "ptv3_semseg_forward_scenes_per_sec",
+                "value": round(scenes_per_sec, 3),
+                "unit": "scenes/s (102k pts/scene, 1 chip)" + unit_suffix,
+                "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 3),
+            }
+        ),
+        flush=True,
+    )
+
 
 # Persistent compile cache: the axon remote compiler's compile time scales with
 # tensor size (a 102k-point lexsort alone costs ~30s to compile, the full model
@@ -42,18 +77,16 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-REFERENCE_SCENES_PER_SEC = 8.0
-
-
-def main():
+def _run_bench():
     _enable_compile_cache()
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from pointcept_keypointdetection_tpu.models import MODELS, PointBatch
 
     B = int(os.environ.get("PKT_BENCH_B", "1"))  # scenes per forward (batched inference)
-    S = 102_400
+    S = int(os.environ.get("PKT_BENCH_S", "102400"))  # points per scene (override for smoke tests)
     rng = np.random.default_rng(0)
     coords = rng.uniform(0, 8.0, (B, S, 3)).astype(np.float32)
     grid = np.floor(coords / 0.02).astype(np.int32)
@@ -87,7 +120,7 @@ def main():
         stem_kernel=3,
         # xla attention path: the Pallas custom-call payload is not byte-stable
         # across processes, which defeats the persistent compile cache
-        attn_impl="xla",
+        attn_impl=os.environ.get("PKT_BENCH_ATTN", "xla"),
     )
     model = MODELS.build(dict(type="DefaultSegmentor", backbone=backbone, criteria=()))
     point = PointBatch(
@@ -103,6 +136,16 @@ def main():
     )
     jax.block_until_ready(variables)
     print(f"# init done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    if os.environ.get("PKT_BENCH_PARAM_DTYPE", "bfloat16") == "bfloat16":
+        # bf16 end-to-end weights: halves parameter HBM traffic; every compute
+        # site already casts params to the feature dtype, and norm statistics
+        # stay f32 (batch_stats untouched)
+        variables = dict(variables)
+        variables["params"] = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            variables["params"],
+        )
 
     @jax.jit
     def fwd_scalar(variables, point, salt):
@@ -125,16 +168,68 @@ def main():
     per_iter = max((t_large - t_small) / 20.0, 1e-9)
     scenes_per_sec = B / per_iter
 
-    print(
-        json.dumps(
-            {
-                "metric": "ptv3_semseg_forward_scenes_per_sec",
-                "value": round(scenes_per_sec, 3),
-                "unit": "scenes/s (102k pts/scene, 1 chip)",
-                "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 3),
-            }
-        )
+    backend = jax.default_backend()
+    _emit(scenes_per_sec, "" if backend != "cpu" else " [CPU FALLBACK — no TPU grant]")
+
+
+def _spawn_child(extra_env):
+    env = dict(os.environ)
+    env[_CHILD_ENV] = "1"
+    env.update(extra_env)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        timeout=float(os.environ.get("PKT_BENCH_CHILD_TIMEOUT", "5400")),
     )
+    sys.stderr.write(proc.stderr[-4000:])
+    json_line = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("{"):
+            json_line = line
+    return proc.returncode, json_line, proc.stderr
+
+
+def main():
+    if os.environ.get(_CHILD_ENV):
+        _run_bench()
+        return
+
+    deadline = time.time() + float(os.environ.get("PKT_BENCH_RETRY_BUDGET", "1800"))
+    backoff = 30.0
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc, json_line, stderr = _spawn_child({})
+        except subprocess.TimeoutExpired:
+            rc, json_line, stderr = 1, None, "child timeout"
+        if rc == 0 and json_line:
+            print(json_line, flush=True)
+            return
+        retryable = any(sig in stderr for sig in _RETRYABLE)
+        print(
+            f"# bench attempt {attempt} failed (rc={rc}, retryable={retryable})",
+            file=sys.stderr,
+        )
+        if not retryable or time.time() + backoff > deadline:
+            break
+        time.sleep(backoff)
+        backoff = min(backoff * 2, 300.0)
+
+    # Last resort: measure on CPU so the round still records an official
+    # number (clearly marked), instead of rc=1 with no JSON (round 1's fate).
+    print("# falling back to CPU measurement", file=sys.stderr)
+    try:
+        rc, json_line, _ = _spawn_child({"JAX_PLATFORMS": "cpu"})
+        if rc == 0 and json_line:
+            print(json_line, flush=True)
+            return
+    except Exception as exc:  # noqa: BLE001
+        print(f"# CPU fallback failed: {exc}", file=sys.stderr)
+    _emit(0.0, " [BENCH FAILED — no backend]")
 
 
 if __name__ == "__main__":

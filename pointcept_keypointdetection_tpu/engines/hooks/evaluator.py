@@ -73,9 +73,8 @@ class SemSegEvaluator(HookBase):
         target_sum = np.zeros(K)
         losses = []
         for i, batch_np in enumerate(trainer.val_loader):
-            ns = batch_np["num_samples"]
             batch = shard_batch(batch_np, trainer.mesh)
-            batch.pop("num_samples", None)
+            ns = batch.pop("num_samples", batch_np["num_samples"])
             inter, union, target, loss = self._eval_step(trainer.state, batch, ns)
             inter_sum += np.asarray(inter)
             union_sum += np.asarray(union)
@@ -141,9 +140,8 @@ class ClsEvaluator(HookBase):
         union_sum = np.zeros(K)
         target_sum = np.zeros(K)
         for batch_np in trainer.val_loader:
-            ns = batch_np["num_samples"]
             batch = shard_batch(batch_np, trainer.mesh)
-            batch.pop("num_samples", None)
+            ns = batch.pop("num_samples", batch_np["num_samples"])
             inter, union, tgt = self._eval_step(trainer.state, batch, ns)
             inter_sum += np.asarray(inter)
             union_sum += np.asarray(union)

@@ -238,9 +238,8 @@ class InsSegEvaluator(HookBase):
         num_classes = trainer.cfg.data.num_classes
         scenes = []
         for batch_np in trainer.val_loader:
-            ns = batch_np["num_samples"]
             batch = shard_batch(batch_np, trainer.mesh)
-            batch.pop("num_samples", None)
+            ns = batch.pop("num_samples", batch_np["num_samples"])
             seg_pred, bias_pred, seg_probs = self._eval_step(trainer.state, batch, ns)
             from ..common import build_point_batch
             from ...models.point_group import proposals_from_labels

@@ -58,9 +58,8 @@ class KeypointEvaluator(HookBase):
         dist_sum = None
         count = 0.0
         for batch_np in trainer.val_loader:
-            ns = batch_np["num_samples"]
             batch = shard_batch(batch_np, trainer.mesh)
-            batch.pop("num_samples", None)
+            ns = batch.pop("num_samples", batch_np["num_samples"])
             d, n = self._eval_step(trainer.state, batch, ns)
             dist_sum = np.asarray(d) if dist_sum is None else dist_sum + np.asarray(d)
             count += float(n)
@@ -137,9 +136,8 @@ class OffsetKeypointEvaluator(HookBase):
         dist_sum = None
         count = 0.0
         for batch_np in trainer.val_loader:
-            ns = batch_np["num_samples"]
             batch = shard_batch(batch_np, trainer.mesh)
-            batch.pop("num_samples", None)
+            ns = batch.pop("num_samples", batch_np["num_samples"])
             d, n = self._eval_step(trainer.state, batch, ns)
             dist_sum = np.asarray(d) if dist_sum is None else dist_sum + np.asarray(d)
             count += float(n)

@@ -166,9 +166,10 @@ class CheckpointSaver(HookBase):
         self.logger = get_root_logger()
 
     def after_epoch(self):
-        if jax.process_index() != 0:
-            return
         trainer = self.trainer
+        # the best-metric DECISION runs on every process — eval metrics are
+        # identical by construction (global jit reductions), and a rank-0-only
+        # update would leave other processes' trainer.best_metric_value stale
         is_best = False
         current_metric_value = trainer.comm_info.get("current_metric_value")
         current_metric_name = trainer.comm_info.get("current_metric_name")
@@ -182,6 +183,8 @@ class CheckpointSaver(HookBase):
             self.logger.info(
                 f"Currently Best {current_metric_name}: {trainer.best_metric_value:.4f}"
             )
+        if jax.process_index() != 0:
+            return  # checkpoint files are written by process 0 only
         ckpt_dir = os.path.join(trainer.cfg.save_path, "model")
         os.makedirs(ckpt_dir, exist_ok=True)
         path = os.path.join(ckpt_dir, "model_last.ckpt")

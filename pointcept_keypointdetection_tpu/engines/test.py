@@ -86,6 +86,17 @@ class TesterBase:
     def test(self):
         raise NotImplementedError
 
+    def scene_indices(self):
+        """Shard test scenes over processes (reference DistributedSampler +
+        rank-0 gather contract, `engines/test.py:312-314`); per-process partial
+        metrics are re-joined with ``host_allreduce_sum``."""
+        from ..parallel.collectives import process_count
+
+        n = len(self.test_dataset)
+        if process_count() == 1:
+            return range(n)
+        return range(jax.process_index(), n, process_count())
+
 
 def sample_to_device(batch: Dict) -> Dict:
     out = {}
@@ -156,7 +167,7 @@ class SemSegTester(TesterBase):
         inter_sum, union_sum, target_sum = np.zeros(K), np.zeros(K), np.zeros(K)
         batch_time = AverageMeter()
 
-        for idx in range(len(self.test_dataset)):
+        for idx in self.scene_indices():
             start = time.time()
             data_dict = self.test_dataset[idx]
             fragment_list = data_dict.pop("fragment_list")
@@ -229,7 +240,12 @@ class SemSegTester(TesterBase):
                 f"Accuracy {acc:.4f} mIoU {iou:.4f}"
             )
 
-        if self.cfg.get("save_confusion"):
+        from ..parallel.collectives import host_allreduce_sum, is_main_process
+
+        inter_sum, union_sum, target_sum = host_allreduce_sum(
+            (inter_sum, union_sum, target_sum)
+        )
+        if self.cfg.get("save_confusion") and is_main_process():
             split = self.cfg.data.test.get("split", "test")
             np.savez(
                 os.path.join(save_path, f"confusion_{split}.npz"),
@@ -314,12 +330,15 @@ class ClsTester(TesterBase):
             return jnp.argmax(out["cls_logits"], axis=-1)
 
         correct = total = 0
-        for idx in range(len(self.test_dataset)):
+        for idx in self.scene_indices():
             sample = self.test_dataset[idx]
             batch = collate([_pad_fragment(sample, self.slot)], self.slot)
             pred = int(np.asarray(forward(self.variables, sample_to_device(batch)))[0])
             correct += int(pred == int(sample["category"]))
             total += 1
+        from ..parallel.collectives import host_allreduce_sum
+
+        correct, total = host_allreduce_sum(np.array([correct, total], np.int64))
         acc = correct / max(total, 1)
         self.logger.info(f"Test result: allAcc {acc:.4f}")
         return dict(allAcc=acc)
@@ -379,7 +398,7 @@ class ClsVotingTester(TesterBase):
             return jax.nn.softmax(out["cls_logits"], axis=-1)
 
         correct = total = 0
-        for idx in range(len(self.test_dataset)):
+        for idx in self.scene_indices():
             probs = None
             for r in range(self.num_repeat):
                 sample = self.test_dataset[idx]  # transforms re-randomize per call
@@ -391,6 +410,9 @@ class ClsVotingTester(TesterBase):
             total += 1
             if (idx + 1) % 50 == 0:
                 self.logger.info(f"Vote test [{idx + 1}/{len(self.test_dataset)}] acc={correct / total:.4f}")
+        from ..parallel.collectives import host_allreduce_sum
+
+        correct, total = host_allreduce_sum(np.array([correct, total], np.int64))
         acc = correct / max(total, 1)
         self.logger.info(f"Test result: allAcc {acc:.4f} ({self.num_repeat} votes)")
         return dict(allAcc=acc)
@@ -425,7 +447,7 @@ class PartSegTester(TesterBase):
             return jnp.argmax(out["seg_logits"], axis=-1)
 
         ious = []
-        for idx in range(len(self.test_dataset)):
+        for idx in self.scene_indices():
             sample = self.test_dataset[idx]
             n = sample["coord"].shape[0]
             batch = collate([_pad_fragment(sample, self.slot)], self.slot)
@@ -438,6 +460,157 @@ class PartSegTester(TesterBase):
                 union = np.logical_or(pred == p, gt == p).sum()
                 part_ious.append(inter / max(union, 1))
             ious.append(float(np.mean(part_ious)))
-        miou = float(np.mean(ious)) if ious else 0.0
+        from ..parallel.collectives import host_allreduce_sum
+
+        iou_sum, iou_cnt = host_allreduce_sum(
+            np.array([float(np.sum(ious)), float(len(ious))])
+        )
+        miou = float(iou_sum / iou_cnt) if iou_cnt else 0.0
         self.logger.info(f"Test result: instance-avg part mIoU {miou:.4f}")
         return dict(mIoU=miou)
+
+
+@TESTERS.register_module()
+class InsSegTester(TesterBase):
+    """Instance segmentation tester (parity: `engines/test.py:896-1324`).
+
+    Whole-scene (voxelized) inference at a fixed padded capacity: one jitted
+    forward -> semantic probs + center-shift vectors; host-side clustering of
+    the shifted coordinates into proposals with mean-confidence scores
+    (models/point_group.py); optional 1-nn mapping of the proposal masks back
+    to the raw-resolution points when the pipeline kept ``origin_coord``
+    (reference knn map-to-origin, `test.py:938-948`); ScanNet-devkit AP over
+    all scenes.  Multi-process: scenes are sharded over processes and the
+    per-scene association structures re-joined with the object all-gather
+    (the reference's gloo ``comm.gather``, `test.py:976-983`).
+    """
+
+    def __init__(
+        self,
+        cfg,
+        segment_ignore_index=(-1, 0, 1),
+        instance_ignore_index=-1,
+        cluster_thresh=0.05,
+        cluster_min_points=50,
+        cluster_propose_points=100,
+        capacity=None,
+        **kwargs,
+    ):
+        self.num_classes = cfg.data.num_classes
+        self.segment_ignore_index = tuple(segment_ignore_index)
+        self.instance_ignore_index = instance_ignore_index
+        self.cluster_thresh = cluster_thresh
+        self.cluster_min_points = cluster_min_points
+        self.cluster_propose_points = cluster_propose_points
+        self.capacity = capacity or cfg.get("slot_size", 131072)
+        self._forward = None
+        super().__init__(cfg, **kwargs)
+
+    def probe_sample(self):
+        backbone = self.cfg.model.get("backbone") or {}
+        frag = {
+            "coord": np.zeros((4, 3), np.float32),
+            "grid_coord": np.zeros((4, 3), np.int32),
+            "feat": np.zeros((4, backbone.get("in_channels", 3)), np.float32),
+        }
+        return collate([_pad_fragment(frag, self.capacity)], self.capacity)
+
+    def _build_forward(self):
+        model = self.model
+
+        def forward(variables, batch):
+            point = build_point_batch(batch, 1)
+            out = model.apply(variables, point, batch, train=False)
+            probs = jax.nn.softmax(out["seg_logits"].astype(jnp.float32), axis=-1)
+            return jnp.argmax(probs, -1).astype(jnp.int32), out["bias_pred"], probs
+
+        self._forward = jax.jit(forward)
+
+    def test(self):
+        from ..models.point_group import cluster_proposals, proposals_from_labels
+        from ..ops.knn import knn
+        from .hooks.insseg_evaluator import (
+            associate_instances,
+            evaluate_matches,
+            summarize_ap,
+        )
+        from ..parallel.collectives import host_allgather_objects
+
+        logger = self.logger
+        logger.info(">>>>>>>>>>>>>>>> Start Evaluation >>>>>>>>>>>>>>>>")
+        if self._forward is None:
+            self._build_forward()
+        batch_time = AverageMeter()
+        scenes = []
+        for idx in self.scene_indices():
+            start = time.time()
+            data_dict = dict(self.test_dataset[idx])
+            name = data_dict.pop("name", f"scene{idx}")
+            segment = np.asarray(data_dict["segment"]).reshape(-1)
+            instance = np.asarray(data_dict["instance"]).reshape(-1)
+            n = data_dict["coord"].shape[0]
+            if n > self.capacity:
+                logger.warning(f"{name}: {n} pts > capacity {self.capacity}; truncating")
+                for k, v in list(data_dict.items()):
+                    if isinstance(v, np.ndarray) and v.shape[:1] == (n,):
+                        data_dict[k] = v[: self.capacity]
+                segment, instance = segment[: self.capacity], instance[: self.capacity]
+                n = self.capacity
+            batch = collate([_pad_fragment(dict(data_dict), self.capacity)], self.capacity)
+            seg_pred, bias_pred, probs = self._forward(self.variables, sample_to_device(batch))
+            valid = np.asarray(batch["valid"]).reshape(-1)
+            coord = jnp.asarray(batch["coord"])
+            labels = cluster_proposals(
+                coord, seg_pred, bias_pred, jnp.asarray(valid),
+                cluster_thresh=self.cluster_thresh,
+                segment_ignore_index=self.segment_ignore_index,
+                min_points=self.cluster_min_points,
+            )
+            masks, classes, scores = proposals_from_labels(
+                labels, np.asarray(seg_pred), np.asarray(probs),
+                propose_points=self.cluster_propose_points,
+            )
+            masks = masks[:, valid] if len(masks) else masks
+
+            if "origin_coord" in data_dict:
+                # 1-nn map-to-origin of the proposal masks (`test.py:938-948`)
+                origin = np.asarray(data_dict["origin_coord"], np.float32)
+                reverse, _ = knn(
+                    jnp.asarray(origin), coord, 1,
+                    base_valid=jnp.asarray(valid),
+                )
+                reverse = np.asarray(reverse).reshape(-1)
+                # masks are over valid rows; re-index via the dense->valid map
+                dense_to_valid = np.cumsum(valid) - 1
+                masks = masks[:, dense_to_valid[reverse]] if len(masks) else masks
+                segment = np.asarray(data_dict["origin_segment"]).reshape(-1)
+                instance = np.asarray(data_dict["origin_instance"]).reshape(-1)
+
+            gt, pr = associate_instances(
+                classes, scores, masks, segment, instance,
+                self.num_classes, self.segment_ignore_index, self.instance_ignore_index,
+            )
+            scenes.append(dict(gt=gt, pr=pr))
+            batch_time.update(time.time() - start)
+            logger.info(
+                f"Test: {name} [{idx + 1}/{len(self.test_dataset)}] "
+                f"proposals {len(masks)} Batch {batch_time.val:.3f} ({batch_time.avg:.3f})"
+            )
+
+        all_scenes = [s for part in host_allgather_objects(scenes) for s in part]
+        class_ids = [c for c in range(self.num_classes) if c not in self.segment_ignore_index]
+        ap = evaluate_matches(all_scenes, class_ids)
+        all_ap, ap50, ap25 = summarize_ap(ap)
+        logger.info(f"Val result: mAP/AP50/AP25 {all_ap:.4f}/{ap50:.4f}/{ap25:.4f}")
+        names = self.cfg.data.get("names")
+        for i, c in enumerate(class_ids):
+            label = names[c] if names else f"class_{c}"
+            with np.errstate(invalid="ignore"):
+                row = ap[i]
+                main = ~np.isclose(np.append(np.arange(0.5, 0.95, 0.05), 0.25), 0.25)
+            logger.info(
+                f"Class_{c}-{label} Result: AP/AP50/AP25 "
+                f"{np.nanmean(row[main]):.4f}/{row[0]:.4f}/{row[-1]:.4f}"
+            )
+        logger.info("<<<<<<<<<<<<<<<<< End Evaluation <<<<<<<<<<<<<<<<<")
+        return dict(mAP=all_ap, AP50=ap50, AP25=ap25)

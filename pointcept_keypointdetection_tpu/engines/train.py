@@ -10,7 +10,8 @@ one pjit-compiled function over the device mesh — forward (optionally bf16),
 backward, global-norm clip, optax update, BN-stat update.  Data parallelism is
 mesh sharding of the padded batch (no DDP wrapper, no GradScaler: bf16 on TPU
 needs no loss scaling).  Gradient accumulation splits the batch into
-micro-batches with ``lax.scan`` outside — TODO round 2; config knob accepted.
+micro-batches averaged inside a ``lax.scan`` (``make_train_step`` below;
+tested by tests/test_grad_accum.py).
 """
 
 from __future__ import annotations
@@ -301,9 +302,8 @@ class Trainer(TrainerBase):
     # -- loop ------------------------------------------------------------
     def run_step(self):
         batch_np = self.comm_info["input_dict"]
-        num_samples = batch_np["num_samples"]
         batch = shard_batch(batch_np, self.mesh)
-        batch.pop("num_samples", None)
+        num_samples = batch.pop("num_samples", batch_np["num_samples"])
         self.state, metrics = self._train_step(self.state, batch, num_samples)
         self.comm_info["metrics"] = metrics
         self.comm_info["lr"] = float(self.lr_schedule(int(self.state.step) - 1))

@@ -3,11 +3,13 @@
 Capability parity with `pointcept/models/point_group/point_group_v1m1_base.py`:
 backbone -> semantic logits + per-point center-shift ("offset") vectors;
 losses = semantic CE (+ optional lovasz) + masked L1 offset-norm loss +
-direction-cosine loss; inference clusters points on both original and
-shifted coordinates via connected components (the CUDA
-ballquery+bfs_cluster replaced by `ops/cluster.connected_components`) and
-emits proposals scored by cluster size (ScoreNet refinement is a planned
-round-2 addition).
+direction-cosine loss; inference clusters the center-shifted coordinates via
+connected components (the CUDA ballquery+bfs_cluster of
+`point_group_v1m1_base.py:120-140` replaced by
+`ops/cluster.connected_components`) and scores each proposal by the mean
+softmax confidence of its majority class over member points
+(`point_group_v1m1_base.py:159-176` — this fork's v1m1 has no ScoreNet;
+scoring parity is with its confidence-mean rule).
 """
 
 from __future__ import annotations
@@ -81,31 +83,38 @@ def cluster_proposals(
     cluster_thresh: float = 0.03,
     segment_ignore_index: Tuple[int, ...] = (-1, 0, 1),
     min_points: int = 50,
+    dual: bool = False,
 ):
-    """Dual-set clustering (original + shifted coords) -> instance labels.
+    """Cluster the center-shifted coordinates -> instance labels int32[N]
+    (-1 = background), dropping clusters under ``min_points``.
 
-    Returns (labels int32[N] with -1 background, scores f32[N] per-point
-    cluster size in points).  Host-friendly wrapper over the jit op.
+    Matches the fork's v1m1 inference (`point_group_v1m1_base.py:103-140`):
+    one ballquery+BFS pass over ``coord + bias_pred`` restricted to
+    non-ignored predicted classes.  ``dual=True`` additionally clusters the
+    ORIGINAL coordinates and fills uncovered points from those clusters (the
+    original PointGroup paper's dual-set variant — not used by the fork).
     """
     import numpy as np
 
     from ..ops.cluster import connected_components
 
     ignore = tuple(int(i) for i in segment_ignore_index)
-    lab_a = np.asarray(
-        connected_components(coord, seg_pred, valid, cluster_thresh, batch=batch, ignore_classes=ignore)
-    )
-    lab_b = np.asarray(
+    labels = np.asarray(
         connected_components(
             coord + bias_pred, seg_pred, valid, cluster_thresh, batch=batch, ignore_classes=ignore
         )
     )
-    # merge: prefer shifted-coordinate clusters, fill leftovers from original
-    labels = lab_b.copy()
-    offset = labels.max() + 1 if labels.max() >= 0 else 0
-    fill = (labels < 0) & (lab_a >= 0)
-    labels[fill] = lab_a[fill] + offset
-    # drop tiny clusters
+    if dual:
+        lab_a = np.asarray(
+            connected_components(
+                coord, seg_pred, valid, cluster_thresh, batch=batch, ignore_classes=ignore
+            )
+        )
+        offset = labels.max() + 1 if labels.max() >= 0 else 0
+        fill = (labels < 0) & (lab_a >= 0)
+        labels = labels.copy()
+        labels[fill] = lab_a[fill] + offset
+    # drop tiny clusters (`cluster_min_points`)
     uniq, counts = np.unique(labels[labels >= 0], return_counts=True)
     small = set(uniq[counts < min_points].tolist())
     if small:

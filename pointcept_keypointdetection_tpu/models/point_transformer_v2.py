@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.codes import code_or_batch
-from ..ops.knn import knn
+from ..ops.knn import knn, knn_bucketed
 from ..ops.segment import segment_max, segment_mean
 from ..ops.serialization import z_order_encode
 from ..ops.voxelize import slotted_unique
@@ -144,6 +144,10 @@ class BlockSequence(nn.Module):
     pe_bias: bool = True
     drop_path: float = 0.0
     pdnorm_conditions: int = 0
+    # > 0: grid-bucketed knn with this cell size (O(Q*27*cap) instead of
+    # O(Q*N); rare out-of-ring neighbors are masked out of the attention by
+    # ``nbr_mask`` — the graceful-degradation contract of ops/knn.py)
+    knn_cell_size: float = 0.0
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool, cond_sample=None):
@@ -153,10 +157,17 @@ class BlockSequence(nn.Module):
             if self.pdnorm_conditions > 0 and cond_sample is not None
             else None
         )
-        nbr_idx, sqd = knn(
-            point.coord, point.coord, self.neighbours,
-            query_batch=batch, base_batch=batch, base_valid=point.valid,
-        )
+        if self.knn_cell_size > 0:
+            nbr_idx, sqd = knn_bucketed(
+                point.coord, point.coord, self.neighbours, self.knn_cell_size,
+                query_batch=batch, base_batch=batch, base_valid=point.valid,
+                cell_cap=64,
+            )
+        else:
+            nbr_idx, sqd = knn(
+                point.coord, point.coord, self.neighbours,
+                query_batch=batch, base_batch=batch, base_valid=point.valid,
+            )
         nbr_mask = (sqd < 1e9) & point.valid[:, None]
         for i in range(self.depth):
             point = Block(
@@ -267,6 +278,12 @@ class PointTransformerV2(nn.Module):
     drop_path_rate: float = 0.3
     slot_divisors: Sequence[int] = (2, 4, 8, 16)
     pdnorm_conditions: int = 0  # >0: PDNorm at every site (PT-v2m3)
+    # knn strategy for the grouped-vector-attention neighborhoods:
+    # "brute" = exact O(N^2) tiled scan; "bucketed" = grid-bucketed
+    # O(N*27*cap) (ops/knn.knn_bucketed) with per-stage cell sizes derived
+    # from ``grid_sizes``; "auto" = bucketed once the slot size reaches 16k
+    # (real-scene scale, where brute force is ~10^10 distance ops per layer)
+    knn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool = False, condition=None):
@@ -289,10 +306,21 @@ class PointTransformerV2(nn.Module):
             )
         )
         point = point.replace(feat=feat)
+        bucketed = self.knn_impl == "bucketed" or (
+            self.knn_impl == "auto" and slot0 >= 16384
+        )
+
+        def cell(stage):  # -1 = patch embed (input resolution)
+            if not bucketed:
+                return 0.0
+            # points at stage s are spaced ~grid_sizes[s]; 16 uniform
+            # neighbors live within ~2 spacings, so 2.5x is a safe ring
+            return self.grid_sizes[max(stage, 0)] * (1.0 if stage < 0 else 2.5)
+
         point = BlockSequence(
             self.patch_embed_depth, c0, self.patch_embed_groups,
             self.patch_embed_neighbours, self.qkv_bias, self.pe_multiplier, self.pe_bias,
-            pdnorm_conditions=M,
+            pdnorm_conditions=M, knn_cell_size=cell(-1),
             name="patch_embed",
         )(point, train, cond_sample)
 
@@ -311,7 +339,7 @@ class PointTransformerV2(nn.Module):
                 self.enc_depths[s], self.enc_channels[s], self.enc_groups[s],
                 self.enc_neighbours[s], self.qkv_bias, self.pe_multiplier, self.pe_bias,
                 self.drop_path_rate * s / max(num_stages - 1, 1),
-                pdnorm_conditions=M,
+                pdnorm_conditions=M, knn_cell_size=cell(s),
                 name=f"enc{s}",
             )(x, train, cond_sample)
 
@@ -323,7 +351,7 @@ class PointTransformerV2(nn.Module):
             x = BlockSequence(
                 self.dec_depths[s], self.dec_channels[s], self.dec_groups[s],
                 self.dec_neighbours[s], self.qkv_bias, self.pe_multiplier, self.pe_bias,
-                pdnorm_conditions=M,
+                pdnorm_conditions=M, knn_cell_size=cell(s - 1),
                 name=f"dec{s}",
             )(x, train, cond_sample)
         return x.feat

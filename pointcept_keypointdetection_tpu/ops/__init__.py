@@ -12,6 +12,6 @@ from .serialization import (
 from .segment import segment_sum, segment_mean, segment_max, segment_min, segment_reduce
 from .voxelize import unique_with_capacity, slotted_unique, SlottedUniqueResult
 from .sparse import build_kernel_map, sparse_conv, SparseConvSpec
-from .knn import knn, ball_query, three_nn_interpolate
+from .knn import knn, knn_bucketed, ball_query, three_nn_interpolate
 from .sampling import farthest_point_sampling
 from .cluster import connected_components

@@ -5,12 +5,23 @@ The TPU replacement for the reference's CUDA ``pointops`` queries
 PTv1/PTv2 grouping, the evaluators' map-to-origin step (`engines/test.py:32-35`)
 and unpooling interpolation.
 
-Implementation: tiled brute force.  Distances are computed chunk-by-chunk with
-``lax.scan`` holding a running top-k, so memory stays at ``Q x chunk`` instead
-of ``Q x N``; the inner products ride the MXU.  Cross-batch matches are
-excluded by adding a large penalty when batch ids differ.  This is
-O(Q*N) — ample for the evaluator/grouping sizes in play; a grid-bucketed
-Pallas kernel is the planned upgrade for the hot paths.
+Two implementations:
+
+* ``knn`` — tiled brute force.  Distances are computed chunk-by-chunk with
+  ``lax.scan`` holding a running top-k, so memory stays at ``Q x chunk``
+  instead of ``Q x N``; the inner products ride the MXU.  Cross-batch matches
+  are excluded by adding a large penalty when batch ids differ.  O(Q*N) —
+  the exact oracle, fine at evaluator sizes.
+* ``knn_bucketed`` — grid-bucketed candidate search (the TPU analogue of the
+  reference's per-query CUDA neighborhood walks): base points are sorted by
+  the Morton code of their grid cell; each query inspects the 27 neighboring
+  cells' runs (up to ``cell_cap`` points each) found by one sort-merge join
+  against the sorted cell codes, then takes top-k over ~27*cell_cap exact
+  distances.  O(Q * 27 * cap) — the scalable path for PTv1/PTv2 grouping at
+  100k+ points.  EXACT whenever the k-th true neighbor is within L-inf
+  distance ``cell_size`` of the query and no searched cell overflows
+  ``cell_cap`` (property-tested against ``knn``); misses are reported via
+  ``sqdist >= _BIG`` so callers can widen ``cell_size``/``cell_cap``.
 """
 
 from __future__ import annotations
@@ -19,6 +30,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _BIG = 1e10
 
@@ -78,6 +90,165 @@ def knn(
         xs = (chunks, inv_chunks, starts)
     (best_d, best_i), _ = jax.lax.scan(body, init, xs)
     return best_i, best_d
+
+
+def _run_head_lookup(sorted_code, qhi, qlo, n):
+    """Sort-merge join: for each query code, the SORTED-ARRAY POSITION of the
+    first base entry with an equal code (or ``n`` when absent).
+
+    Same design as ops/sparse._sortmerge_lookup (stable lexsort + running
+    last-target scan; base entries precede queries so equal keys resolve to
+    the base run), except the target payload is each entry's RUN-HEAD position
+    rather than its voxel row — every member of an equal-code run carries the
+    run's first sorted position, so the scan hands queries the run start."""
+    nq = qhi.shape[0]
+    # run heads within the sorted base codes
+    iota = jnp.arange(n, dtype=jnp.int32)
+    prev_hi = jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, jnp.uint32), sorted_code.hi[:-1]])
+    prev_lo = jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, jnp.uint32), sorted_code.lo[:-1]])
+    is_head = (sorted_code.hi != prev_hi) | (sorted_code.lo != prev_lo)
+    # head position per sorted element: running max of head indices
+    head_pos = jax.lax.associative_scan(jnp.maximum, jnp.where(is_head, iota, -1))
+
+    hi = jnp.concatenate([sorted_code.hi, qhi])
+    lo = jnp.concatenate([sorted_code.lo, qlo])
+    payload = jnp.concatenate([head_pos, n + jnp.arange(nq, dtype=jnp.int32)])
+
+    order = jnp.lexsort((lo, hi))
+    s_hi = jnp.take(hi, order)
+    s_lo = jnp.take(lo, order)
+    s_payload = jnp.take(payload, order)
+
+    is_target = s_payload < n
+    live = is_target & ~((s_hi == jnp.uint32(0xFFFFFFFF)) & (s_lo == jnp.uint32(0xFFFFFFFF)))
+
+    def combine(a, b):
+        fa, ra, ha, la = a
+        fb, rb, hb, lb = b
+        return (fa | fb, jnp.where(fb, rb, ra), jnp.where(fb, hb, ha), jnp.where(fb, lb, la))
+
+    _, run_pos, run_hi, run_lo = jax.lax.associative_scan(
+        combine, (live, jnp.where(live, s_payload, -1), s_hi, s_lo)
+    )
+    hit = (run_hi == s_hi) & (run_lo == s_lo) & (~is_target) & (run_pos >= 0)
+    result_sorted = jnp.where(hit, run_pos, n).astype(jnp.int32)
+    out = jnp.full((nq,), n, jnp.int32)
+    qid = jnp.where(is_target, nq, s_payload - n)
+    return out.at[qid].set(result_sorted, mode="drop")
+
+
+def knn_bucketed(
+    query: jnp.ndarray,  # [Q, 3]
+    base: jnp.ndarray,  # [N, 3]
+    k: int,
+    cell_size: float,
+    query_batch: Optional[jnp.ndarray] = None,
+    base_batch: Optional[jnp.ndarray] = None,
+    base_valid: Optional[jnp.ndarray] = None,
+    cell_cap: int = 32,
+    query_chunk: int = 8192,
+    depth: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Grid-bucketed k-NN. Returns (idx int32[Q, k], sqdist f32[Q, k]).
+
+    Exact iff every query's k-th neighbor is within L-inf ``cell_size`` and no
+    inspected cell holds more than ``cell_cap`` points; under-filled queries
+    carry ``sqdist >= _BIG`` in the missing slots (idx falls back to the
+    nearest found candidate, mirroring ball_query's repeat-first semantics).
+    """
+    from .codes import code_fill_invalid, code_lexsort, code_or_batch, code_take
+    from .serialization import z_order_encode
+
+    n = base.shape[0]
+    nq = query.shape[0]
+    if base_valid is None:
+        base_valid = jnp.ones((n,), bool)
+    bb = base_batch if base_batch is not None else jnp.zeros((n,), jnp.int32)
+    qb = query_batch if query_batch is not None else jnp.zeros((nq,), jnp.int32)
+
+    inv = 1.0 / cell_size
+    bcell = jnp.floor(base * inv).astype(jnp.int32)
+    qcell = jnp.floor(query * inv).astype(jnp.int32)
+    # shift to non-negative (z-order domain); -1 margin for the ring offsets
+    origin = jnp.minimum(
+        jnp.min(jnp.where(base_valid[:, None], bcell, 2**20), axis=0), jnp.min(qcell, axis=0)
+    ) - 1
+    bcell = bcell - origin
+    qcell = qcell - origin
+
+    bcode = code_or_batch(z_order_encode(bcell, depth), bb, depth)
+    bcode = code_fill_invalid(bcode, base_valid)
+    perm = code_lexsort(bcode)
+    scode = code_take(bcode, perm)
+
+    offs = np.asarray(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+        np.int32,
+    )
+    n_off = offs.shape[0]
+    qc = qcell[:, None, :] + jnp.asarray(offs)[None, :, :]  # [Q, 27, 3]
+    qcode = code_or_batch(
+        z_order_encode(jnp.maximum(qc, 0).reshape(-1, 3), depth),
+        jnp.broadcast_to(qb[:, None], (nq, n_off)).reshape(-1),
+        depth,
+    )
+    head = _run_head_lookup(scode, qcode.hi, qcode.lo, n).reshape(nq, n_off)
+
+    # pad the sorted arrays once so candidate gathers never clamp into real rows
+    pad_hi = jnp.concatenate([scode.hi, jnp.full((cell_cap,), 0xFFFFFFFF, jnp.uint32)])
+    pad_lo = jnp.concatenate([scode.lo, jnp.full((cell_cap,), 0xFFFFFFFF, jnp.uint32)])
+    pad_perm = jnp.concatenate([perm, jnp.zeros((cell_cap,), jnp.int32)])
+    base_pad = jnp.concatenate([base, jnp.zeros((cell_cap, 3), base.dtype)], axis=0)
+
+    qhi2 = qcode.hi.reshape(nq, n_off)
+    qlo2 = qcode.lo.reshape(nq, n_off)
+
+    def block(args):
+        q_blk, head_blk, qhi_blk, qlo_blk = args
+        m = q_blk.shape[0]
+        rows = head_blk[:, :, None] + jnp.arange(cell_cap, dtype=jnp.int32)  # [m, 27, cap]
+        rows = rows.reshape(m, n_off * cell_cap)
+        c_hi = jnp.take(pad_hi, rows, axis=0)
+        c_lo = jnp.take(pad_lo, rows, axis=0)
+        ok = (c_hi == jnp.repeat(qhi_blk, cell_cap, axis=1)) & (
+            c_lo == jnp.repeat(qlo_blk, cell_cap, axis=1)
+        )
+        cand = jnp.take(pad_perm, rows, axis=0)  # [m, C] base rows
+        pos = jnp.take(base_pad, cand, axis=0)  # [m, C, 3]
+        d = jnp.sum(jnp.square(pos - q_blk[:, None, :].astype(jnp.float32)), axis=-1)
+        d = jnp.where(ok, d, _BIG)
+        neg_top, top_i = jax.lax.top_k(-d, k)
+        idx = jnp.take_along_axis(cand, top_i, axis=1)
+        dist = -neg_top
+        # repeat-nearest fill for missing slots
+        idx = jnp.where(dist < _BIG, idx, idx[:, :1])
+        return idx, dist
+
+    chunk = min(query_chunk, nq)
+    nblk = -(-nq // chunk)
+    pad_q = nblk * chunk
+    if pad_q != nq:
+        query_p = jnp.pad(query, ((0, pad_q - nq), (0, 0)))
+        head_p = jnp.pad(head, ((0, pad_q - nq), (0, 0)), constant_values=n)
+        qhi_p = jnp.pad(qhi2, ((0, pad_q - nq), (0, 0)))
+        qlo_p = jnp.pad(qlo2, ((0, pad_q - nq), (0, 0)), constant_values=1)
+    else:
+        query_p, head_p, qhi_p, qlo_p = query, head, qhi2, qlo2
+    if nblk == 1:
+        idx, dist = block((query_p, head_p, qhi_p, qlo_p))
+    else:
+        idx, dist = jax.lax.map(
+            block,
+            (
+                query_p.reshape(nblk, chunk, 3),
+                head_p.reshape(nblk, chunk, n_off),
+                qhi_p.reshape(nblk, chunk, n_off),
+                qlo_p.reshape(nblk, chunk, n_off),
+            ),
+        )
+        idx = idx.reshape(pad_q, k)
+        dist = dist.reshape(pad_q, k)
+    return idx[:nq], dist[:nq]
 
 
 def ball_query(

@@ -41,14 +41,25 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put a collated numpy batch with data-parallel sharding.
+    """Build globally-sharded device arrays from a collated numpy batch.
 
     Flat per-point arrays ([B*S, ...]) and per-sample arrays ([B, ...]) shard
     on dim 0; scalars replicate.  B must be divisible by the data axis.
+
+    Single-process: plain ``device_put`` with a NamedSharding.  Multi-process
+    (``jax.distributed``): each process's dataloader yields only its LOCAL
+    shard (engines/train.py passes num_shards/shard_id), and
+    ``jax.make_array_from_process_local_data`` assembles the global array —
+    ``device_put`` of local data against a global sharding is wrong there
+    (it would treat the local shard as the full global batch).
     """
     data_sharding = local_batch_sharding(mesh)
     rep = replicate(mesh)
     n_data = mesh.shape["data"]
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        # data-axis extent owned by this process
+        n_local_data = mesh.local_mesh.shape["data"]
     out = {}
     for key, value in batch.items():
         if key in ("name", "num_samples"):
@@ -56,11 +67,24 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
         arr = np.asarray(value)
         if arr.dtype == object or arr.dtype.kind in "US":
             continue
-        if arr.ndim == 0 or arr.shape[0] % n_data != 0:
-            # small per-sample arrays (B < devices) replicate
-            out[key] = jax.device_put(arr, rep)
+        if not multiproc:
+            if arr.ndim == 0 or arr.shape[0] % n_data != 0:
+                # small per-sample arrays (B < devices) replicate
+                out[key] = jax.device_put(arr, rep)
+            else:
+                out[key] = jax.device_put(arr, data_sharding)
         else:
-            out[key] = jax.device_put(arr, data_sharding)
+            if arr.ndim == 0:
+                out[key] = jax.make_array_from_process_local_data(rep, arr)
+            else:
+                assert arr.shape[0] % n_local_data == 0, (
+                    f"batch['{key}'] dim0 {arr.shape[0]} not divisible by "
+                    f"local data-axis size {n_local_data} (multi-process "
+                    f"batches cannot replicate per-sample arrays)"
+                )
+                out[key] = jax.make_array_from_process_local_data(data_sharding, arr)
     if "num_samples" in batch:
-        out["num_samples"] = batch["num_samples"]
+        # global sample count: each process's loader yields its local share
+        ns = batch["num_samples"]
+        out["num_samples"] = ns * jax.process_count() if multiproc else ns
     return out

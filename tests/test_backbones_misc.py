@@ -95,3 +95,31 @@ def test_stratified_transformer_forward(rng):
     out = model.apply(variables, point, train=False)
     assert out.shape == (256, 5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spvcnn_trilinear_devoxelize():
+    """voxel_to_point interpolates exactly: center -> identity, midpoint -> mean."""
+    import jax.numpy as jnp
+
+    from pointcept_keypointdetection_tpu.models.spvcnn import voxel_to_point_trilinear
+    from pointcept_keypointdetection_tpu.models.structure import PointBatch
+
+    # stage: two voxels at grid (0,0,0) and (1,0,0), features 1 and 3
+    stage = PointBatch(
+        coord=jnp.asarray([[0.5, 0.5, 0.5], [1.5, 0.5, 0.5]], jnp.float32),
+        feat=jnp.asarray([[1.0], [3.0]], jnp.float32),
+        grid_coord=jnp.asarray([[0, 0, 0], [1, 0, 0]], jnp.int32),
+        valid=jnp.ones(2, bool),
+        num_samples=1,
+    )
+    # queries: voxel-0 center, halfway between centers, voxel-1 center
+    cont = jnp.asarray([[0.5, 0.5, 0.5], [1.0, 0.5, 0.5], [1.5, 0.5, 0.5]], jnp.float32)
+    pts = PointBatch(
+        coord=cont,  # unused by the op besides shapes
+        feat=jnp.zeros((3, 1), jnp.float32),
+        grid_coord=jnp.floor(cont).astype(jnp.int32),
+        valid=jnp.ones(3, bool),
+        num_samples=1,
+    )
+    out = np.asarray(voxel_to_point_trilinear(stage, pts, cont, stride=1)).reshape(-1)
+    np.testing.assert_allclose(out, [1.0, 2.0, 3.0], atol=1e-5)

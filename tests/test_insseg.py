@@ -61,3 +61,91 @@ def test_ap_half_wrong():
     all_ap, ap50, ap25 = summarize_ap(ap)
     assert ap25 == 1.0
     assert 0.4 < all_ap < 1.0  # high-IoU thresholds lose the partial mask
+
+
+def test_insseg_tester_end_to_end(tmp_path):
+    """InsSegTester with an oracle forward: perfect semantics + shifts -> mAP 1.
+
+    Exercises the full tester path (padding, clustering, proposal scoring,
+    1-nn map-to-origin, AP aggregation) without training a model.
+    """
+    import os
+
+    import jax
+
+    from pointcept_keypointdetection_tpu.engines.test import InsSegTester
+    from pointcept_keypointdetection_tpu.utils.config import Config
+
+    rng = np.random.default_rng(0)
+    scenes = []
+    for si in range(2):
+        blobs, seg, inst = [], [], []
+        for ii, (cls, center) in enumerate(
+            [(2, [0, 0, 0.5]), (2, [3, 0, 0.5]), (3, [0, 3, 0.5])]
+        ):
+            pts = rng.normal(0, 0.15, (300, 3)) + center
+            blobs.append(pts)
+            seg += [cls] * 300
+            inst += [ii] * 300
+        floor = np.stack(
+            [rng.uniform(-1, 4, 400), rng.uniform(-1, 4, 400), rng.normal(0, 0.01, 400)], 1
+        )
+        blobs.append(floor)
+        seg += [0] * 400
+        inst += [-1] * 400
+        coord = np.concatenate(blobs).astype(np.float32)
+        segment = np.asarray(seg, np.int32)
+        instance = np.asarray(inst, np.int32)
+        # "origin" = 2x duplicated noisy copies of every point
+        origin_coord = np.repeat(coord, 2, 0) + rng.normal(0, 0.005, (2 * len(coord), 3)).astype(
+            np.float32
+        )
+        scenes.append(
+            dict(
+                coord=coord,
+                grid_coord=np.floor(coord / 0.02).astype(np.int32) + 100,
+                feat=coord.copy(),
+                segment=segment,
+                instance=instance,
+                origin_coord=origin_coord.astype(np.float32),
+                origin_segment=np.repeat(segment, 2),
+                origin_instance=np.repeat(instance, 2),
+                name=f"scene{si}",
+            )
+        )
+
+    cfg = Config(
+        dict(
+            save_path=str(tmp_path),
+            slot_size=2048,
+            data=dict(num_classes=4, names=["wall", "floor", "box", "ball"]),
+            model=dict(backbone=dict(in_channels=3)),
+        )
+    )
+    tester = InsSegTester(
+        cfg,
+        segment_ignore_index=(-1, 0, 1),
+        cluster_thresh=0.06,
+        model=object(),
+        variables={"params": {}},
+        test_loader=scenes,
+    )
+
+    def oracle_forward(variables, batch):
+        segment = np.asarray(batch["segment"]).reshape(-1)
+        instance = np.asarray(batch["instance"]).reshape(-1)
+        coord = np.asarray(batch["coord"])
+        valid = np.asarray(batch["valid"]).reshape(-1)
+        n = len(segment)
+        probs = np.full((n, 4), 0.01, np.float32)
+        probs[np.arange(n), np.maximum(segment, 0)] = 0.97
+        bias = np.zeros((n, 3), np.float32)
+        for u in np.unique(instance[instance >= 0]):
+            m = (instance == u) & valid
+            bias[m] = coord[m & valid].mean(0) - coord[m]
+        seg_pred = probs.argmax(1).astype(np.int32)
+        return jnp.asarray(seg_pred), jnp.asarray(bias), jnp.asarray(probs)
+
+    tester._forward = oracle_forward
+    result = tester.test()
+    assert result["mAP"] == 1.0 and result["AP50"] == 1.0 and result["AP25"] == 1.0, result

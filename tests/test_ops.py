@@ -299,3 +299,60 @@ def test_take_permutation_vjp(rng):
     g_custom = jax.grad(lambda x_: jnp.sum(take_permutation(x_, p, i) * g_out))(x)
     g_ref = jax.grad(lambda x_: jnp.sum(jnp.take(x_, p, axis=0) * g_out))(x)
     np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref), rtol=1e-6)
+
+
+def test_knn_bucketed_matches_brute_force(rng):
+    # dense-enough uniform cloud: k-th neighbor well within one cell
+    n, q, k = 4000, 512, 8
+    base = rng.uniform(0, 2.0, (n, 3)).astype(np.float32)
+    query = rng.uniform(0.2, 1.8, (q, 3)).astype(np.float32)
+    cell = 0.35  # ~85 pts/cell avg at this density -> k-th nn << cell
+    idx_b, d_b = ops.knn_bucketed(
+        jnp.asarray(query), jnp.asarray(base), k, cell, cell_cap=256, query_chunk=128
+    )
+    idx_o, d_o = ops.knn(jnp.asarray(query), jnp.asarray(base), k)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(d_b), axis=1), np.sort(np.asarray(d_o), axis=1), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_knn_bucketed_batched_and_masked(rng):
+    n, q, k = 2000, 256, 4
+    base = rng.uniform(0, 1.5, (n, 3)).astype(np.float32)
+    query = rng.uniform(0.2, 1.3, (q, 3)).astype(np.float32)
+    bb = rng.integers(0, 2, n).astype(np.int32)
+    qb = rng.integers(0, 2, q).astype(np.int32)
+    bvalid = rng.random(n) > 0.1
+    cell = 0.4
+    idx_b, d_b = ops.knn_bucketed(
+        jnp.asarray(query), jnp.asarray(base), k, cell,
+        query_batch=jnp.asarray(qb), base_batch=jnp.asarray(bb),
+        base_valid=jnp.asarray(bvalid), cell_cap=256, query_chunk=256,
+    )
+    idx_o, d_o = ops.knn(
+        jnp.asarray(query), jnp.asarray(base), k,
+        query_batch=jnp.asarray(qb), base_batch=jnp.asarray(bb),
+        base_valid=jnp.asarray(bvalid),
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(d_b), axis=1), np.sort(np.asarray(d_o), axis=1), rtol=1e-4, atol=1e-5
+    )
+    # returned indices are consistent with the distances and the masks
+    idx_b = np.asarray(idx_b)
+    d_all = ((query[:, None] - base[None]) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        np.take_along_axis(d_all, idx_b, 1), np.asarray(d_b), rtol=1e-4, atol=1e-5
+    )
+    assert bvalid[idx_b].all()
+    assert (bb[idx_b] == qb[:, None]).all()
+
+
+def test_knn_bucketed_reports_misses(rng):
+    # two far-apart clusters with a tiny cell: cross-cluster neighbors are
+    # out of ring range -> missing slots flagged with huge sqdist
+    base = np.array([[0.0, 0, 0], [10.0, 0, 0]], np.float32)
+    query = np.array([[0.0, 0, 0]], np.float32)
+    idx, d = ops.knn_bucketed(jnp.asarray(query), jnp.asarray(base), 2, 0.5, cell_cap=4)
+    d = np.asarray(d)
+    assert d[0, 0] < 1e-6
+    assert d[0, 1] >= 1e9  # the 10-away point is not reachable in one ring

@@ -1,0 +1,187 @@
+"""Generate a synthetic KITTI-odometry sequence with ground truth.
+
+The image ships no KITTI data, so the SLAM harness (tools/run_slam.py) is
+exercised on a procedurally generated street scene in the exact
+SemanticKITTI layout the reference pipeline consumes
+(`SemanticFAST-LIO2-prediction/infer.py` + `fusion_clean_bag.py`):
+
+  <out>/dataset/sequences/<seq>/velodyne/NNNNNN.bin   float32 [x y z intensity]
+  <out>/dataset/sequences/<seq>/labels/NNNNNN.label   uint32 raw semantic ids
+  <out>/dataset/poses/<seq>.txt                       12-float GT poses
+
+World: ground plane + building facades + poles (static, ICP-lockable) plus
+MOVING cars (raw label 10 -> train-id 0, a dynamic class): an oncoming convoy
+that corrupts scan-to-map registration unless dynamic points are dropped —
+the exact failure mode the reference's dynamic-class removal targets
+(`fusion_clean_bag.py:93-95`).
+
+Usage: python tools/make_synthetic_kitti.py --out /tmp/synth_kitti \
+           [--frames 120] [--seq 00] [--n-cars 6]
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+RAW_ROAD, RAW_BUILDING, RAW_POLE, RAW_CAR = 40, 50, 80, 10
+
+
+def sample_box(rng, center, size, density, label):
+    """Points on the surface of an axis-aligned box."""
+    sx, sy, sz = size
+    area = 2 * (sx * sy + sx * sz + sy * sz)
+    n = max(int(area * density), 8)
+    face = rng.integers(0, 6, n)
+    u, v = rng.uniform(-0.5, 0.5, (2, n))
+    pts = np.zeros((n, 3))
+    for f in range(6):
+        m = face == f
+        axis = f // 2
+        sign = 1.0 if f % 2 == 0 else -1.0
+        o1, o2 = [a for a in range(3) if a != axis]
+        pts[m, axis] = sign * 0.5
+        pts[m, o1] = u[m]
+        pts[m, o2] = v[m]
+    pts = pts * np.array(size) + np.array(center)
+    return pts, np.full(n, label, np.uint32)
+
+
+def build_world(rng, length=120.0, half_width=8.0):
+    """Static street: road strip, building facades both sides, poles."""
+    pts_list, lbl_list = [], []
+    # road: dense plane along x in [-10, length+10]
+    n_road = 60000
+    road = np.stack(
+        [
+            rng.uniform(-10, length + 10, n_road),
+            rng.uniform(-half_width - 4, half_width + 4, n_road),
+            rng.normal(0, 0.015, n_road),
+        ],
+        1,
+    )
+    pts_list.append(road)
+    lbl_list.append(np.full(n_road, RAW_ROAD, np.uint32))
+    # buildings: boxes lining both sides with varied footprints/heights
+    x = -5.0
+    while x < length + 5:
+        for side in (-1, 1):
+            w = rng.uniform(6, 14)
+            d = rng.uniform(4, 8)
+            h = rng.uniform(5, 14)
+            cy = side * (half_width + d / 2 + rng.uniform(0.5, 2.0))
+            p, l = sample_box(
+                rng, [x + w / 2, cy, h / 2], [w, d, h], density=22.0, label=RAW_BUILDING
+            )
+            pts_list.append(p)
+            lbl_list.append(l)
+        x += rng.uniform(8, 16)
+    # poles every ~12 m
+    for px in np.arange(0, length, 12.0):
+        for side in (-1, 1):
+            p, l = sample_box(
+                rng,
+                [px, side * (half_width - 1.0), 2.5],
+                [0.25, 0.25, 5.0],
+                density=160.0,
+                label=RAW_POLE,
+            )
+            pts_list.append(p)
+            lbl_list.append(l)
+    return np.concatenate(pts_list).astype(np.float32), np.concatenate(lbl_list)
+
+
+def trajectory(frames, step=0.6):
+    """Sensor poses: straight -> gentle arc -> straight. Returns [T, 4, 4]."""
+    poses = []
+    pos = np.array([0.0, 0.0, 1.8])
+    yaw = 0.0
+    for t in range(frames):
+        if frames // 3 < t < 2 * frames // 3:
+            yaw += np.radians(1.1)  # gentle turn
+        R = np.array(
+            [[np.cos(yaw), -np.sin(yaw), 0], [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]
+        )
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        poses.append(T)
+        pos = pos + R @ np.array([step, 0.0, 0.0])
+    return np.stack(poses)
+
+
+def car_tracks(rng, n_cars, frames, length):
+    """Oncoming cars in the other lane: per-frame box centers."""
+    tracks = []
+    for c in range(n_cars):
+        x0 = rng.uniform(15, length)
+        speed = rng.uniform(0.9, 1.4)  # m/frame toward -x
+        y = rng.uniform(2.0, 4.5)
+        tracks.append((x0, y, speed))
+    return tracks
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--seq", default="00")
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--n-cars", type=int, default=6)
+    ap.add_argument("--max-range", type=float, default=55.0)
+    ap.add_argument("--points-per-scan", type=int, default=26000)
+    ap.add_argument("--noise", type=float, default=0.02)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    length = args.frames * 0.6 + 20
+    world, world_lbl = build_world(rng, length=length)
+    poses = trajectory(args.frames)
+    cars = car_tracks(rng, args.n_cars, args.frames, length)
+
+    seq_dir = os.path.join(args.out, "dataset", "sequences", args.seq)
+    os.makedirs(os.path.join(seq_dir, "velodyne"), exist_ok=True)
+    os.makedirs(os.path.join(seq_dir, "labels"), exist_ok=True)
+    os.makedirs(os.path.join(args.out, "dataset", "poses"), exist_ok=True)
+
+    for t in range(args.frames):
+        T = poses[t]
+        R, p = T[:3, :3], T[:3, 3]
+        # dynamic cars at this frame (dense: they sit close to the sensor)
+        dyn_pts, dyn_lbl = [], []
+        for x0, y, speed in cars:
+            cx = x0 - speed * t
+            if -10 < cx < length:
+                bp, bl = sample_box(
+                    rng, [cx, y, 0.8], [4.2, 1.9, 1.6], density=150.0, label=RAW_CAR
+                )
+                dyn_pts.append(bp)
+                dyn_lbl.append(bl)
+        pts = np.concatenate([world] + dyn_pts) if dyn_pts else world
+        lbl = np.concatenate([world_lbl] + dyn_lbl) if dyn_lbl else world_lbl
+
+        local = (pts - p) @ R  # world -> sensor frame
+        rng_d = np.linalg.norm(local, axis=1)
+        keep = (rng_d > 2.6) & (rng_d < args.max_range)
+        local, flbl = local[keep], lbl[keep]
+        if len(local) > args.points_per_scan:
+            sel = rng.choice(len(local), args.points_per_scan, replace=False)
+            local, flbl = local[sel], flbl[sel]
+        local = local + rng.normal(0, args.noise, local.shape)
+        scan = np.concatenate(
+            [local, rng.uniform(0, 1, (len(local), 1))], 1
+        ).astype(np.float32)
+        scan.tofile(os.path.join(seq_dir, "velodyne", f"{t:06d}.bin"))
+        flbl.astype(np.uint32).tofile(os.path.join(seq_dir, "labels", f"{t:06d}.label"))
+
+    np.savetxt(
+        os.path.join(args.out, "dataset", "poses", f"{args.seq}.txt"),
+        poses[:, :3, :].reshape(args.frames, 12),
+        fmt="%.9f",
+    )
+    n_dyn = sum(1 for _ in cars)
+    print(f"wrote {args.frames} frames ({n_dyn} dynamic cars) to {seq_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -45,11 +45,22 @@ def main():
     if not scans:
         raise FileNotFoundError(f"no scans under {seq_dir}")
 
-    semantic_infer = None
+    label_fn = None
     dynamic = ()
     if cfg.semantic.get("enabled"):
         dynamic = tuple(cfg.semantic.get("dynamic_classes", ()))
-        semantic_infer = _build_semseg(cfg)
+        if cfg.semantic.get("labels_from") == "files":
+            # GT labels from <seq>/labels/*.label — the reference's
+            # upper-bound experiment (`fusion_gt_clean_bag.py`)
+            from pointcept_keypointdetection_tpu.datasets.semantic_kitti import read_label
+
+            def label_fn(path, scan):
+                lbl = path.replace(os.sep + "velodyne" + os.sep, os.sep + "labels" + os.sep)
+                return read_label(lbl[: -len(".bin")] + ".label")
+
+        else:
+            semantic_infer = _build_semseg(cfg)
+            label_fn = lambda path, scan: semantic_infer(scan)
 
     odo_cfg = OdometryConfig(dynamic_classes=dynamic, **{
         k: v for k, v in dict(cfg.odometry).items()
@@ -69,7 +80,7 @@ def main():
     t0 = time.time()
     for i, path in enumerate(scans):
         scan = read_scan(path)
-        labels = semantic_infer(scan) if semantic_infer else None
+        labels = label_fn(path, scan) if label_fn else None
         engine.process(scan, labels)
         if (i + 1) % 50 == 0:
             print(f"[{i + 1}/{len(scans)}] {(i + 1) / (time.time() - t0):.2f} scans/s")

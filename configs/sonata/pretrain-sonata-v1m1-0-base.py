@@ -21,17 +21,34 @@ model = dict(
     backbone_in_channels=6,
     num_prototypes=4096,
     proj_dim=256,
+    head_hidden=4096,
     student_temp=0.1,
-    teacher_temp=0.05,
-    mask_rate=0.5,
+    mask_jitter=0.01,
     num_matches=2048,
+    num_local_view=4,
+    mask_loss_weight=2 / 8,
+    roll_mask_loss_weight=2 / 8,
+    unmask_loss_weight=4 / 8,
+)
+
+# teacher EMA: cosine momentum 0.996 -> 1.0 over training (reference
+# `sonata_v1m1_base.py:222-227`); heads EMA alongside the backbone
+ema = dict(
+    momentum=dict(base=0.996, final=1.0),
+    pairs=[
+        ["student_backbone", "teacher_backbone"],
+        ["student_mask_head", "teacher_mask_head"],
+        ["student_unmask_head", "teacher_unmask_head"],
+    ],
 )
 
 hooks = [
     dict(type="CheckpointLoader"),
     dict(type="IterationTimer", warmup_iter=2),
     dict(type="InformationWriter"),
-    dict(type="ModelHook"),  # fires the EMA teacher update after each step
+    # scheduled mask size/ratio + teacher temperature (reference
+    # CosineSchedulers, `sonata_v1m1_base.py:188-247`)
+    dict(type="SonataScheduler"),
     dict(type="CheckpointSaver"),
 ]
 

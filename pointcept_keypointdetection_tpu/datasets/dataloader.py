@@ -2,8 +2,12 @@
 
 The TPU replacement for torch DataLoader + DistributedSampler
 (`engines/train.py:283-314`): per-process shard of a deterministic per-epoch
-permutation, padded-slot collation (see collate.py), and a background-thread
-prefetch queue overlapping host preprocessing with device steps.
+permutation, padded-slot collation (see collate.py), a background-thread
+prefetch queue overlapping host preprocessing with device steps, and a
+``num_workers`` pool preparing samples in parallel (threads, not processes:
+the transform pipeline is numpy-heavy and releases the GIL in its hot ops,
+and forking after JAX/XLA initialization risks deadlocking runtime threads —
+the failure mode torch sidesteps by spawning workers before CUDA init).
 ``MultiDatasetLoader`` mirrors the PPT ``MultiDatasetDataloader``
 (`datasets/dataloader.py:23`) round-robin over per-dataset loaders whose
 ``loop`` encodes the mix ratio.
@@ -33,6 +37,7 @@ class Dataloader:
         num_shards: int = 1,
         shard_id: int = 0,
         prefetch: int = 2,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -44,6 +49,8 @@ class Dataloader:
         self.num_shards = num_shards
         self.shard_id = shard_id
         self.prefetch = prefetch
+        self.num_workers = num_workers
+        self._pool = None
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -67,12 +74,32 @@ class Dataloader:
             return per_shard // self.batch_size
         return -(-per_shard // self.batch_size)
 
+    def _samples(self, order):
+        """Yield prepared samples in order, ``num_workers``-parallel."""
+        if self.num_workers <= 0:
+            for idx in order:
+                yield self.dataset[int(idx)]
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        window = self.num_workers * 2
+        futs: deque = deque()
+        it = iter(order)
+        for idx in it:
+            futs.append(self._pool.submit(self.dataset.__getitem__, int(idx)))
+            if len(futs) >= window:
+                yield futs.popleft().result()
+        while futs:
+            yield futs.popleft().result()
+
     def _produce(self, out_q: queue.Queue):
         try:
-            order = self._indices()
             batch = []
-            for idx in order:
-                batch.append(self.dataset[int(idx)])
+            for sample in self._samples(self._indices()):
+                batch.append(sample)
                 if len(batch) == self.batch_size:
                     out_q.put(collate(batch, self.slot_size, self.mix_prob))
                     batch = []
@@ -85,10 +112,9 @@ class Dataloader:
 
     def __iter__(self) -> Iterator[dict]:
         if self.prefetch <= 0:
-            order = self._indices()
             batch = []
-            for idx in order:
-                batch.append(self.dataset[int(idx)])
+            for sample in self._samples(self._indices()):
+                batch.append(sample)
                 if len(batch) == self.batch_size:
                     yield collate(batch, self.slot_size, self.mix_prob)
                     batch = []

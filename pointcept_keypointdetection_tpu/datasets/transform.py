@@ -379,19 +379,46 @@ class ElasticDistortion:
         return data_dict
 
 
+def _voxel_runs(grid_coord: np.ndarray):
+    """Group rows by voxel: sort rows by their 48-bit Morton key and describe
+    each voxel as a contiguous run of the sorted order.
+
+    Returns (by_voxel, run_start, run_len, voxel_of_row):
+    ``by_voxel`` sorts rows voxel-by-voxel; voxel v owns sorted positions
+    ``run_start[v] : run_start[v] + run_len[v]``; ``voxel_of_row[r]`` is the
+    voxel id of ORIGINAL row r.  The Morton key is exact (collision-free,
+    unlike the reference's FNV hash) and doubles as the downstream
+    serialization key, so this sort is shared with the model plane.
+    """
+    from ..ops.serialization import z_order_encode_np
+
+    assert grid_coord.max() < 2**16, "scene exceeds 16-bit voxel extent"
+    key = z_order_encode_np(grid_coord, depth=16)
+    by_voxel = np.argsort(key, kind="stable")
+    _, voxel_of_sorted, run_len = np.unique(
+        key[by_voxel], return_inverse=True, return_counts=True
+    )
+    run_start = np.concatenate([[0], np.cumsum(run_len[:-1])])
+    voxel_of_row = np.empty_like(voxel_of_sorted)
+    voxel_of_row[by_voxel] = voxel_of_sorted
+    return by_voxel, run_start, run_len, voxel_of_row
+
+
 @TRANSFORMS.register_module()
 class GridSample:
-    """Hash-based voxel down-sampling (`transform.py:826-963`).
+    """Voxel down-sampling over exact Morton-keyed runs (`transform.py:826-963`).
 
-    train mode: one random point per voxel; test mode: list of exhaustive
-    per-voxel splits.  Always emits ``grid_coord`` (the TPU model plane
-    requires it); optional inverse map for full-resolution projection.
+    train mode: keep one uniformly-random row per voxel; test mode: exhaustive
+    per-voxel splits — part i keeps each voxel's (i mod run_len)-th row, so
+    every row appears in at least one part.  Always computes ``grid_coord``
+    (the TPU model plane requires it); ``inverse`` maps original rows to their
+    voxel id for full-resolution projection.
     """
 
     def __init__(
         self,
         grid_size=0.05,
-        hash_type="fnv",
+        hash_type="fnv",  # accepted for config parity; keys are exact Morton
         mode="train",
         return_inverse=False,
         return_grid_coord=True,
@@ -408,65 +435,56 @@ class GridSample:
         self.project_displacement = project_displacement
 
     def __call__(self, data_dict):
-        coord = data_dict["coord"]
-        scaled = coord / self.grid_size
+        scaled = data_dict["coord"] / self.grid_size
         grid_coord = np.floor(scaled).astype(np.int64)
-        min_coord = grid_coord.min(0)
-        grid_coord = grid_coord - min_coord
-        scaled = scaled - min_coord
-        min_coord = min_coord * self.grid_size
+        origin = grid_coord.min(0)
+        grid_coord = grid_coord - origin
+        scaled = scaled - origin
+        min_coord = origin * self.grid_size
 
-        # 48-bit Morton key (exact, no hash collisions) — unlike the
-        # reference's FNV this is also the serialization key, so the sort is
-        # shared downstream.
-        from ..ops.serialization import z_order_encode_np
+        by_voxel, run_start, run_len, voxel_of_row = _voxel_runs(grid_coord)
 
-        assert grid_coord.max() < 2**16, "scene exceeds 16-bit voxel extent"
-        key = z_order_encode_np(grid_coord, depth=16)
-        idx_sort = np.argsort(key, kind="stable")
-        key_sort = key[idx_sort]
-        _, inverse, count = np.unique(key_sort, return_inverse=True, return_counts=True)
         if self.mode == "train":
-            idx_select = np.cumsum(np.insert(count, 0, 0)[0:-1]) + np.random.randint(
-                0, count.max(), count.size
-            ) % count
-            idx_unique = idx_sort[idx_select]
+            # reference RNG contract (`transform.py:860-866`): one randint
+            # vector modulo the run lengths
+            offsets = np.random.randint(0, run_len.max(), run_len.size) % run_len
+            keep = by_voxel[run_start + offsets]
             if "sampled_index" in data_dict:
-                idx_unique = np.unique(np.append(idx_unique, data_dict["sampled_index"]))
+                # data-efficient benchmarks: always keep the annotated rows
+                keep = np.unique(np.append(keep, data_dict["sampled_index"]))
                 mask = np.zeros(len(data_dict["segment"]), bool)
                 mask[data_dict["sampled_index"]] = True
-                data_dict["sampled_index"] = np.where(mask[idx_unique])[0]
+                data_dict["sampled_index"] = np.where(mask[keep])[0]
             if self.return_inverse:
-                data_dict["inverse"] = np.zeros_like(inverse)
-                data_dict["inverse"][idx_sort] = inverse
+                data_dict["inverse"] = voxel_of_row
             if self.return_displacement:
-                displacement = scaled - grid_coord - 0.5
+                displacement = scaled - grid_coord - 0.5  # sub-voxel offset
                 if self.project_displacement:
-                    displacement = np.sum(displacement * data_dict["normal"], axis=-1, keepdims=True)
+                    displacement = np.sum(
+                        displacement * data_dict["normal"], axis=-1, keepdims=True
+                    )
                 data_dict["displacement"] = displacement
             data_dict["grid_coord"] = grid_coord
-            data_dict = index_operator(data_dict, idx_unique)
+            data_dict = index_operator(data_dict, keep)
             if self.return_min_coord:
                 data_dict["min_coord"] = min_coord.reshape(1, 3)
             if not self.return_grid_coord:
                 data_dict.pop("grid_coord")
             return data_dict
 
-        elif self.mode == "test":
-            data_part_list = []
-            for i in range(count.max()):
-                idx_select = np.cumsum(np.insert(count, 0, 0)[0:-1]) + i % count
-                idx_part = idx_sort[idx_select]
+        if self.mode == "test":
+            parts = []
+            for i in range(run_len.max()):
+                keep = by_voxel[run_start + i % run_len]
                 data_dict["grid_coord"] = grid_coord
-                data_part = index_operator(data_dict, idx_part, duplicate=True)
-                data_part["index"] = idx_part
+                part = index_operator(data_dict, keep, duplicate=True)
+                part["index"] = keep
                 if self.return_inverse:
-                    data_part["inverse"] = np.zeros_like(inverse)
-                    data_part["inverse"][idx_sort] = inverse
+                    part["inverse"] = voxel_of_row
                 if self.return_min_coord:
-                    data_part["min_coord"] = min_coord.reshape(1, 3)
-                data_part_list.append(data_part)
-            return data_part_list
+                    part["min_coord"] = min_coord.reshape(1, 3)
+                parts.append(part)
+            return parts
         raise NotImplementedError(self.mode)
 
 

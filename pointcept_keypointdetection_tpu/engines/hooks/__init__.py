@@ -4,3 +4,4 @@ from . import misc  # noqa: F401  (registers hooks)
 from . import evaluator  # noqa: F401
 from . import keypoint_evaluator  # noqa: F401
 from . import insseg_evaluator  # noqa: F401
+from . import ssl  # noqa: F401

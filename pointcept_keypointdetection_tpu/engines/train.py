@@ -157,6 +157,7 @@ class Trainer(TrainerBase):
             seed=cfg.get("seed", 0) or 0,
             num_shards=num_shards,
             shard_id=jax.process_index(),
+            num_workers=cfg.get("num_worker", 0),
         )
 
     def build_val_loader(self):
@@ -173,6 +174,7 @@ class Trainer(TrainerBase):
             mix_prob=0.0,
             num_shards=jax.process_count(),
             shard_id=jax.process_index(),
+            num_workers=cfg.get("num_worker", 0),
         )
 
     def init_state(self) -> TrainState:
@@ -280,8 +282,18 @@ class Trainer(TrainerBase):
             ema_cfg = self.cfg.get("ema")
             if ema_cfg:
                 # teacher EMA for self-distillation SSL (Sonata): copy
-                # src subtree -> dst subtree with momentum after each step
-                m = float(ema_cfg.get("momentum", 0.996))
+                # src subtree -> dst subtree with momentum after each step.
+                # momentum may be a cosine schedule dict (reference
+                # `sonata_v1m1_base.py:222-227`: base -> final over training)
+                m_cfg = ema_cfg.get("momentum", 0.996)
+                if isinstance(m_cfg, dict):
+                    base = float(m_cfg.get("base", 0.996))
+                    final = float(m_cfg.get("final", 1.0))
+                    total = float(m_cfg.get("total_steps") or self.total_steps)
+                    frac = jnp.minimum(state.step.astype(jnp.float32) / total, 1.0)
+                    m = final - (final - base) * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+                else:
+                    m = float(m_cfg)
                 for src, dst in ema_cfg.get("pairs", []):
                     if src in new_params and dst in new_params:
                         new_params = dict(new_params)

@@ -24,13 +24,17 @@ from .builder import MODELS, build_model
 from .structure import PointBatch
 
 
-def match_views(origin1, valid1, origin2, valid2, batch, num_matches: int, slot: int):
+def match_views(origin1, valid1, origin2, valid2, batch, num_matches: int, slot: int, batch2=None):
     """Find rows (i, j) with origin1[i] == origin2[j] within the same sample.
 
     Returns (idx1 [M], idx2 [M], match_valid [M]) with M = num_matches.
+    ``batch2`` defaults to ``batch`` (same-slot views); pass it when the two
+    views use different slot sizes (Sonata local vs global crops).
     """
+    if batch2 is None:
+        batch2 = batch
     key1 = (batch.astype(jnp.uint32) << 24) | origin1.astype(jnp.uint32)
-    key2 = (batch.astype(jnp.uint32) << 24) | origin2.astype(jnp.uint32)
+    key2 = (batch2.astype(jnp.uint32) << 24) | origin2.astype(jnp.uint32)
     key1 = jnp.where(valid1, key1, jnp.uint32(0xFFFFFFFF))
     key2 = jnp.where(valid2, key2, jnp.uint32(0xFFFFFFFF))
     order2 = jnp.argsort(key2)
@@ -43,13 +47,14 @@ def match_views(origin1, valid1, origin2, valid2, batch, num_matches: int, slot:
     # compact the hits into num_matches slots
     rank = jnp.cumsum(hit.astype(jnp.int32)) - 1
     tgt = jnp.where(hit & (rank < num_matches), rank, num_matches)
-    n = key1.shape[0]
-    idx1 = jnp.full((num_matches,), n, jnp.int32).at[tgt].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    n1 = key1.shape[0]
+    n2 = key2.shape[0]
+    idx1 = jnp.full((num_matches,), n1, jnp.int32).at[tgt].set(
+        jnp.arange(n1, dtype=jnp.int32), mode="drop"
     )
-    idx2 = jnp.full((num_matches,), n, jnp.int32).at[tgt].set(j.astype(jnp.int32), mode="drop")
-    match_valid = idx1 < n
-    return jnp.minimum(idx1, n - 1), jnp.minimum(idx2, n - 1), match_valid
+    idx2 = jnp.full((num_matches,), n2, jnp.int32).at[tgt].set(j.astype(jnp.int32), mode="drop")
+    match_valid = idx1 < n1
+    return jnp.minimum(idx1, n1 - 1), jnp.minimum(idx2, n2 - 1), match_valid
 
 
 @MODELS.register_module("MSC-v1m1")

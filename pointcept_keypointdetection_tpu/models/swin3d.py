@@ -14,10 +14,14 @@ Swin3D CUDA attention):
   trade-off), empty space costs nothing.
 * Shifted windows displace the grid by W/2 before encoding (standard Swin
   shift) on alternating blocks.
-* cRSE is factored: per-head relative-position bias tables over dx/dy/dz
-  within the window (the reference's signal-conditioned tables add color/
-  normal terms; the coordinate term implemented here is the dominant one —
-  noted for round 2).
+* Full cRSE (`swin3d_layers.py:384-578`, ``SelfAttnAIOFunction``): per-signal
+  (XYZ sub-voxel position / RGB / normal), per-axis tables on query, key AND
+  value.  The CUDA kernel's on-the-fly per-pair table reads become MXU
+  contractions: ``A[i, l] = q_i . Tq[l]`` is one [K, d] x [d, 2L] matmul per
+  axis, the pair bias is a gather ``A[i, rel_ij]``; the value term
+  ``sum_j a_ij Tv[rel_ij]`` becomes a scatter-histogram over table slots
+  followed by ``H @ Tv``.  Signals ride the U-Net like the reference's
+  ``coords_sp`` (head-point pooled at every downsample).
 """
 
 from __future__ import annotations
@@ -58,11 +62,42 @@ class WindowAttention(nn.Module):
     channels: int
     num_heads: int
     patch_size: int
-    window_size: int  # voxels (power of two)
+    window_size: int  # voxels (power of 2)
     shifted: bool = False
+    # contextual relative signal embedding (`swin3d_layers.py:411-470`):
+    # "XYZ" | "XYZ_RGB" | "XYZ_RGB_NORM"; quant_size = sub-voxel quantization
+    crse: str = "XYZ_RGB"
+    quant_size: int = 4
+
+    def _crse_group(self, name, sig_s, scale, length, p, k, h, d, q_scaled, keys, attn_shape):
+        """One signal group's (bias, value-table, rel-index) contribution.
+
+        sig_s: [N, 3] sorted signal; index = floor(s_i*scale) - floor(s_j*scale)
+        + length, table = [3 axes, 2*length, h, d] for each of q/k/v.
+        """
+        tq = self.param(f"{name}_q_table", nn.initializers.truncated_normal(0.02),
+                        (3, 2 * length, h, d), jnp.float32)
+        tk = self.param(f"{name}_k_table", nn.initializers.truncated_normal(0.02),
+                        (3, 2 * length, h, d), jnp.float32)
+        tv = self.param(f"{name}_v_table", nn.initializers.truncated_normal(0.02),
+                        (3, 2 * length, h, d), jnp.float32)
+        si = jnp.floor(sig_s.astype(jnp.float32) * scale).astype(jnp.int32).reshape(p, k, 3)
+        rel = si[:, :, None, :] - si[:, None, :, :] + length  # [p, k, k, 3]
+        rel = jnp.clip(rel, 0, 2 * length - 1)
+        bias = jnp.zeros(attn_shape, jnp.float32)  # [p, h, k, k]
+        for a in range(3):
+            # A[p,h,i,l] = q_i . tq[a,l]  (MXU contraction over d)
+            A = jnp.einsum("phkd,lhd->phkl", q_scaled, tq[a], preferred_element_type=jnp.float32)
+            B = jnp.einsum("phkd,lhd->phkl", keys, tk[a], preferred_element_type=jnp.float32)
+            # gather A[i, rel_ij]: expand rel over heads
+            rh = jnp.broadcast_to(rel[..., a][:, None, :, :], attn_shape)  # [p,h,k,k]
+            bias = bias + jnp.take_along_axis(A, rh, axis=-1)
+            # gather B[j, rel_ij]: B is indexed by j -> transpose key axis
+            bias = bias + jnp.take_along_axis(B, rh.transpose(0, 1, 3, 2), axis=-1).transpose(0, 1, 3, 2)
+        return bias, tv, rel
 
     @nn.compact
-    def __call__(self, point: PointBatch, train: bool):
+    def __call__(self, point: PointBatch, train: bool, sig=None, cont=None, stride: int = 1):
         c, h = self.channels, self.num_heads
         d = c // h
         k = self.patch_size
@@ -74,7 +109,6 @@ class WindowAttention(nn.Module):
         qkv = nn.Dense(3 * c, name="qkv")(point.feat)
         qkv_s = jnp.take(qkv, order, axis=0)
         valid_s = jnp.take(point.valid, order, axis=0)
-        grid_s = jnp.take(point.grid_coord + shift, order, axis=0)
 
         n = point.num_points
         p = n // k
@@ -82,10 +116,10 @@ class WindowAttention(nn.Module):
         win_code = code_shr(Code64(hi=jnp.take(code.hi, order), lo=jnp.take(code.lo, order)), 3 * wbits)
 
         qkv_p = qkv_s.reshape(p, k, 3, h, d)
-        q = qkv_p[:, :, 0].transpose(0, 2, 1, 3)
+        q = qkv_p[:, :, 0].transpose(0, 2, 1, 3) * (d**-0.5)
         kk = qkv_p[:, :, 1].transpose(0, 2, 1, 3)
         v = qkv_p[:, :, 2].transpose(0, 2, 1, 3)
-        logits = jnp.einsum("phkd,phmd->phkm", q * (d**-0.5), kk, preferred_element_type=jnp.float32)
+        logits = jnp.einsum("phkd,phmd->phkm", q, kk, preferred_element_type=jnp.float32)
 
         # same-window + validity mask
         wh = win_code.hi.reshape(p, k)
@@ -94,20 +128,48 @@ class WindowAttention(nn.Module):
         vmask = valid_s.reshape(p, k)
         mask = same & vmask[:, None, :]
 
-        # factored cRSE: per-head bias tables over relative dx/dy/dz in window
-        local = (grid_s & (w - 1)).reshape(p, k, 3)
-        rel = local[:, :, None, :] - local[:, None, :, :] + (w - 1)  # [p, k, k, 3] in [0, 2w-2]
-        table = self.param("rpe_table", nn.initializers.normal(0.02), (3, 2 * w - 1, h), jnp.float32)
-        bias = (
-            jnp.take(table[0], rel[..., 0], axis=0)
-            + jnp.take(table[1], rel[..., 1], axis=0)
-            + jnp.take(table[2], rel[..., 2], axis=0)
-        )  # [p, k, k, h]
-        logits = logits + bias.transpose(0, 3, 1, 2)
+        # ---- cRSE ---------------------------------------------------------
+        qs = self.quant_size
+        if cont is None:
+            cont = point.grid_coord.astype(jnp.float32) + 0.5
+        cont_s = (jnp.take(cont, order, axis=0) / float(stride)) + float(shift)
+        local = cont_s - jnp.floor(cont_s / w) * w  # sub-voxel position in [0, w)
+        groups = [("xyz", local, float(qs), w * qs)]
+        if sig is None:
+            sig = jnp.zeros((n, 6), jnp.float32)
+        sig_s = jnp.take(sig, order, axis=0)
+        if "RGB" in self.crse:
+            # color in [-1, 1], color_windowsize=2, color_quant = 2*quant
+            groups.append(("rgb", sig_s[:, 0:3], float(2 * qs), 2 * (2 * qs)))
+        if "NORM" in self.crse:
+            groups.append(("norm", sig_s[:, 3:6], float(2 * qs), 2 * (2 * qs)))
+
+        value_terms = []
+        for name, s_arr, scale, length in groups:
+            bias, tv, rel = self._crse_group(
+                name, s_arr, scale, length, p, k, h, d, q, kk, logits.shape
+            )
+            logits = logits + bias
+            value_terms.append((tv, rel, length))
 
         logits = jnp.where(mask[:, None, :, :], logits, -1e9)
-        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("phkm,phmd->phkd", attn, v, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("phkm,phmd->phkd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32)
+
+        # value-table terms: out_i += sum_l H[i, l] Tv[l] with
+        # H[i, l] = sum_j attn_ij [rel_ij == l] (scatter-histogram per axis)
+        for tv, rel, length in value_terms:
+            for a in range(3):
+                rh = jnp.broadcast_to(rel[..., a][:, None, :, :], attn.shape)
+                H = jnp.zeros((p, h, k, 2 * length), jnp.float32)
+                H = H.at[
+                    jnp.arange(p)[:, None, None, None],
+                    jnp.arange(h)[None, :, None, None],
+                    jnp.arange(k)[None, None, :, None],
+                    rh,
+                ].add(attn)
+                out = out + jnp.einsum("phkl,lhd->phkd", H, tv[a], preferred_element_type=jnp.float32)
+
         out = out.transpose(0, 2, 1, 3).reshape(n, c).astype(qkv.dtype)
         out = jnp.take(out, inverse, axis=0)
         return nn.Dense(c, name="proj")(out)
@@ -121,14 +183,17 @@ class SwinBlock(nn.Module):
     shifted: bool
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    crse: str = "XYZ_RGB"
+    quant_size: int = 4
 
     @nn.compact
-    def __call__(self, point: PointBatch, train: bool):
+    def __call__(self, point: PointBatch, train: bool, sig=None, cont=None, stride: int = 1):
         shortcut = point.feat
         x = LayerNorm(self.channels, name="norm1")(point.feat)
         x = WindowAttention(
-            self.channels, self.num_heads, self.patch_size, self.window_size, self.shifted, name="attn"
-        )(point.replace(feat=x), train)
+            self.channels, self.num_heads, self.patch_size, self.window_size,
+            self.shifted, crse=self.crse, quant_size=self.quant_size, name="attn",
+        )(point.replace(feat=x), train, sig=sig, cont=cont, stride=stride)
         x = DropPath(self.drop_path, name="dp1")(x, point.num_samples, not train)
         feat = shortcut + x
         shortcut = feat
@@ -162,6 +227,7 @@ class GridDownsample(nn.Module):
             PointBatch(coord=coord, feat=pooled, grid_coord=grid, valid=su.out_valid,
                        num_samples=point.num_samples),
             su,
+            head,
         )
 
 
@@ -192,6 +258,15 @@ class Swin3DUNet(nn.Module):
     drop_path_rate: float = 0.3
     slot_divisors: Sequence[int] = (1, 2, 4, 8)
     num_classes: int = 0
+    # cRSE mode (`swin3d_layers.py:411`, reference default "XYZ_RGB"): RGB
+    # reads point.feat[:, 0:3], NORM reads point.feat[:, 3:6] — the reference
+    # builds its coords_sp signal tensor the same way (color then normal,
+    # `swin3d_v1m1_base.py:183-200`); signals are expected roughly in [-1, 1]
+    crse: str = "XYZ_RGB"
+    quant_size: int = 4
+    # pipeline GridSample size: recovers sub-voxel positions for the XYZ
+    # signal (the reference keeps continuous coords in coords_sp)
+    voxel_size: float = 0.05
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool = False):
@@ -199,25 +274,42 @@ class Swin3DUNet(nn.Module):
         slot0 = point.slot_size
         feat = nn.Dense(self.channels[0], name="embed")(point.feat)
         feat = MaskedBatchNorm(self.channels[0], name="embed_norm")(feat, point.valid, not train)
+
+        # signal carrier (the reference's coords_sp): continuous voxel-unit
+        # position + raw rgb/normal channels, head-point pooled per stage
+        resid = point.coord - self.voxel_size * point.grid_coord.astype(jnp.float32)
+        anchor = segment_mean(
+            jnp.where(point.valid[:, None], resid, 0.0), point.batch, point.num_samples
+        )
+        cont = (point.coord - jnp.take(anchor, point.batch, axis=0)) / self.voxel_size
+        cin = point.feat.shape[-1]
+        sig = point.feat[:, : min(cin, 6)].astype(jnp.float32)
+        if cin < 6:
+            sig = jnp.concatenate([sig, jnp.zeros((point.num_points, 6 - cin))], axis=1)
+
         x = point.replace(feat=nn.gelu(feat))
 
         total = sum(self.depths)
         blk = 0
-        skips, sus = [], []
+        skips, conts, sigs = [], [], []
         for s in range(num_stages):
             if s > 0:
                 skips.append(x)
+                conts.append(cont)
+                sigs.append(sig)
                 cap = max(slot0 // self.slot_divisors[s], self.patch_size)
                 cap = -(-cap // self.patch_size) * self.patch_size
-                x, su = GridDownsample(self.channels[s], name=f"down{s}")(x, cap, train)
-                sus.append(su)
+                x, su, head = GridDownsample(self.channels[s], name=f"down{s}")(x, cap, train)
+                cont = jnp.take(cont, head, axis=0)
+                sig = jnp.take(sig, head, axis=0)
             for i in range(self.depths[s]):
                 x = SwinBlock(
                     self.channels[s], self.num_heads[s], self.patch_size,
                     self.window_sizes[s], shifted=(i % 2 == 1), mlp_ratio=self.mlp_ratio,
                     drop_path=self.drop_path_rate * blk / max(total - 1, 1),
+                    crse=self.crse, quant_size=self.quant_size,
                     name=f"stage{s}_block{i}",
-                )(x, train)
+                )(x, train, sig=sig, cont=cont, stride=1 << s)
                 blk += 1
 
         for s in reversed(range(num_stages - 1)):
@@ -225,8 +317,9 @@ class Swin3DUNet(nn.Module):
             x = SwinBlock(
                 self.channels[s], self.num_heads[s], self.patch_size,
                 self.window_sizes[s], shifted=False, mlp_ratio=self.mlp_ratio,
+                crse=self.crse, quant_size=self.quant_size,
                 name=f"dec{s}_block",
-            )(x, train)
+            )(x, train, sig=sigs[s], cont=conts[s], stride=1 << s)
 
         if self.num_classes > 0:
             return nn.Dense(self.num_classes, name="head")(x.feat)

@@ -39,6 +39,7 @@ class OdometryConfig:
     max_range: float = 80.0
     dynamic_classes: Tuple[int, ...] = ()  # semantic train-ids to drop
     map_origin: Tuple[float, float, float] = (-800.0, -800.0, -200.0)
+    max_motion: float = 3.0  # per-frame translation clamp (m); see step()
 
 
 class LidarOdometry:
@@ -92,6 +93,13 @@ class LidarOdometry:
             Ri, ti = se3.se3_inverse(R_prev2, t_prev2)
             dR, dt = se3.se3_compose(Ri, ti, R_prev, t_prev)
             R0, t0 = se3.se3_compose(R_prev, t_prev, dR, dt)
+            # physical-motion clamp: a corrupted ICP step (e.g. dynamic
+            # objects dominating correspondences) would otherwise feed an
+            # unbounded velocity into the constant-velocity prediction and
+            # blow the estimate up exponentially; degrade gracefully instead
+            step_t = t0 - t_prev
+            norm = jnp.linalg.norm(step_t)
+            t0 = t_prev + step_t * jnp.minimum(1.0, cfg.max_motion / jnp.maximum(norm, 1e-9))
 
             def run_icp(_):
                 res = point_to_plane_icp(
@@ -114,6 +122,11 @@ class LidarOdometry:
                 return R0, t0, jnp.asarray(0.0), jnp.asarray(0, jnp.int32)
 
             R, t, rmse, inliers = jax.lax.cond(do_icp, run_icp, skip_icp, None)
+            # clamp the accepted pose too (ICP can only correct within the
+            # correspondence radius, so a bounded prediction keeps t bounded)
+            step_t = t - t_prev
+            norm = jnp.linalg.norm(step_t)
+            t = t_prev + step_t * jnp.minimum(1.0, 2.0 * cfg.max_motion / jnp.maximum(norm, 1e-9))
 
             world = scan @ R.T + t
             new_map = insert(vmap, world, valid)

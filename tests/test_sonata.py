@@ -95,10 +95,74 @@ def test_sonata_uni_head_variant(rng):
     )
     rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}
     variables = jax.jit(functools.partial(model.init, train=True))(rngs, point, batch)
-    assert "student_head" in variables["params"]
-    assert "teacher_head" not in variables["params"]
+    assert "student_mask_head" in variables["params"]
+    assert "teacher_mask_head" not in variables["params"]
     out, _ = model.apply(
         variables, point, batch, train=True, mutable=["batch_stats"],
         rngs={"mask": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
     )
     assert np.isfinite(float(out["loss"]))
+
+
+def _multiview_batch(rng, slot=256, locals_n=2):
+    from pointcept_keypointdetection_tpu.datasets.transform import TRANSFORMS
+
+    coord = rng.uniform(0, 2, (500, 3)).astype(np.float32)
+    color = rng.uniform(0, 1, (500, 3)).astype(np.float32)
+    gen = TRANSFORMS.build(
+        dict(
+            type="MultiViewGenerator",
+            local_view_num=locals_n,
+            view_keys=("coord", "color"),
+            global_slot=256,
+            local_slot=128,
+            global_transform=[
+                dict(type="RandomJitter", sigma=0.003, clip=0.01),
+                dict(type="GridSample", grid_size=0.05, mode="train", return_grid_coord=True),
+            ],
+            local_transform=[
+                dict(type="GridSample", grid_size=0.05, mode="train", return_grid_coord=True),
+            ],
+        )
+    )
+    sample = gen(dict(coord=coord, color=color))
+    batch_np = collate([pad_sample(sample, slot)], slot)
+    return {k: jnp.asarray(v) for k, v in batch_np.items() if not isinstance(v, (list, int))}
+
+
+def test_sonata_multicrop_three_losses(rng):
+    """Full reference loss structure: mask + roll-mask + unmask over local
+    crops, with scheduled scalars riding the batch (`sonata_v1m1_base.py`)."""
+    batch = _multiview_batch(rng)
+    batch["mask_ratio"] = jnp.float32(0.6)
+    batch["mask_size"] = jnp.float32(0.3)
+    batch["teacher_temp"] = jnp.float32(0.06)
+    point = build_point_batch(batch, 1)
+    model = MODELS.build(
+        dict(
+            type="Sonata-v1m1",
+            backbone=dict(
+                type="SpUNet-v1m1", in_channels=3, num_classes=0, base_channels=8,
+                channels=(8, 16, 16, 16, 16, 16, 8, 8), layers=(1,) * 8, stem_kernel=3,
+            ),
+            backbone_in_channels=3,
+            num_prototypes=32,
+            proj_dim=16,
+            head_hidden=32,
+            num_matches=128,
+            num_local_view=2,
+            mask_jitter=0.005,
+        )
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}
+    variables = jax.jit(functools.partial(model.init, train=True))(rngs, point, batch)
+    params = variables["params"]
+    for name in ("student_mask_head", "teacher_mask_head", "student_unmask_head", "teacher_unmask_head"):
+        assert name in params, name
+    out, _ = model.apply(
+        variables, point, batch, train=True, mutable=["batch_stats"],
+        rngs={"mask": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+    )
+    for key in ("mask_loss", "roll_mask_loss", "unmask_loss", "loss"):
+        assert key in out and np.isfinite(float(out[key])), (key, out.get(key))
+    assert float(out["loss"]) > 0

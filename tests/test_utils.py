@@ -138,3 +138,29 @@ def test_label_params_freeze_multi_keyword():
     labels1 = label_params_freeze(params, "seg_head")
     assert labels1["dec0_blocks"]["w"] == "frozen"
     assert labels1["seg_head"]["kernel"] == "train"
+
+
+def test_dataloader_num_workers_matches_serial():
+    """Parallel sample preparation yields the same batches as serial."""
+    import numpy as np
+
+    from pointcept_keypointdetection_tpu.datasets.dataloader import Dataloader
+
+    class Ds:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            n = 20 + i
+            return dict(coord=rng.normal(size=(n, 3)).astype(np.float32),
+                        segment=np.full(n, i, np.int32))
+
+    kw = dict(batch_size=3, slot_size=64, shuffle=True, drop_last=True, seed=7)
+    a = list(Dataloader(Ds(), num_workers=0, prefetch=0, **kw))
+    b = list(Dataloader(Ds(), num_workers=3, prefetch=2, **kw))
+    assert len(a) == len(b) == 4
+    for x, y in zip(a, b):
+        for k in x:
+            if isinstance(x[k], np.ndarray):
+                np.testing.assert_array_equal(x[k], y[k])

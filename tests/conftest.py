@@ -16,6 +16,21 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_xla_caches():
+    """Free compiled executables after every test module.
+
+    A single long pytest process accumulates hundreds of XLA CPU
+    compilations and sporadically segfaults inside backend_compile_and_load
+    (observed on jax 0.8.x CPU after ~250 live executables; each affected
+    test passes standalone).  Dropping the jit caches between modules keeps
+    the live-executable count bounded so a bare ``pytest tests/`` is safe;
+    scripts/run_tests.sh remains the belt-and-braces per-file runner.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

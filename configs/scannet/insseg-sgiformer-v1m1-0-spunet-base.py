@@ -13,7 +13,8 @@ model = dict(
         layers=(2, 3, 4, 6, 2, 2, 2, 2),
     ),
     num_classes=18,
-    num_queries=100,
+    num_sample_query=100,
+    num_learn_query=100,
     dec_dim=128,
     dec_layers=3,
     segment_ignore_index=(-1, 0, 1),

@@ -29,7 +29,7 @@ class OdometryConfig:
     map_capacity: int = 262144
     scan_voxel: float = 0.5
     map_voxel: float = 0.4
-    icp_iters: int = 8
+    icp_iters: int = 12
     knn_k: int = 5
     max_corr_dist: float = 1.0
     huber_delta: float = 0.3
@@ -40,6 +40,22 @@ class OdometryConfig:
     dynamic_classes: Tuple[int, ...] = ()  # semantic train-ids to drop
     map_origin: Tuple[float, float, float] = (-800.0, -800.0, -200.0)
     max_motion: float = 3.0  # per-frame translation clamp (m); see step()
+    # accept ICP + insert the scan into the map only when at least this
+    # fraction of scan points found inlier correspondences — a degraded
+    # registration must not poison the map (drift -> spray feedback)
+    min_inlier_frac: float = 0.25
+    # additionally require the registration residual to stay below this RMSE
+    # before fusing a scan: slightly-off insertions thicken surfaces in the
+    # error direction and the plane fits then CHASE the error (observed as
+    # accelerating drift); a well-registered-only map breaks the feedback
+    insert_rmse_gate: float = 0.08
+    # leaky constant-velocity prediction: v_pred = velocity_damping * v.
+    # Single-frame ICP is mm-accurate given a clean prior (measured), but an
+    # UNdamped velocity model integrates any systematic mm-level ICP bias
+    # quadratically (error -> velocity -> error), which is what actually
+    # destabilized the closed loop; the damped prediction error
+    # (1-gamma)*v ~ cm stays deep inside ICP's convergence basin
+    velocity_damping: float = 0.9
 
 
 class LidarOdometry:
@@ -92,6 +108,10 @@ class LidarOdometry:
             # constant-velocity prediction: T_pred = T_prev (T_prev2^-1 T_prev)
             Ri, ti = se3.se3_inverse(R_prev2, t_prev2)
             dR, dt = se3.se3_compose(Ri, ti, R_prev, t_prev)
+            # damp the velocity (see OdometryConfig.velocity_damping)
+            g = cfg.velocity_damping
+            dt = g * dt
+            dR = se3.so3_exp(g * se3.so3_log(dR))
             R0, t0 = se3.se3_compose(R_prev, t_prev, dR, dt)
             # physical-motion clamp: a corrupted ICP step (e.g. dynamic
             # objects dominating correspondences) would otherwise feed an
@@ -100,6 +120,8 @@ class LidarOdometry:
             step_t = t0 - t_prev
             norm = jnp.linalg.norm(step_t)
             t0 = t_prev + step_t * jnp.minimum(1.0, cfg.max_motion / jnp.maximum(norm, 1e-9))
+
+            cell_cap = min(int(np.ceil(cfg.max_corr_dist / cfg.map_voxel) + 1) ** 3, 128)
 
             def run_icp(_):
                 res = point_to_plane_icp(
@@ -115,6 +137,7 @@ class LidarOdometry:
                     huber_delta=cfg.huber_delta,
                     damping=1e-4,
                     min_planarity=cfg.min_planarity,
+                    cell_cap=cell_cap,
                 )
                 return res.R, res.t, res.rmse, res.inliers
 
@@ -122,6 +145,14 @@ class LidarOdometry:
                 return R0, t0, jnp.asarray(0.0), jnp.asarray(0, jnp.int32)
 
             R, t, rmse, inliers = jax.lax.cond(do_icp, run_icp, skip_icp, None)
+            # reject unhealthy registrations: coast on the (clamped)
+            # constant-velocity prediction instead of accepting a pose fit
+            # to too few correspondences
+            n_scan = jnp.maximum(jnp.sum(valid), 1)
+            healthy = (~do_icp) | (inliers >= cfg.min_inlier_frac * n_scan)
+            R = jnp.where(healthy, R, R0)
+            t = jnp.where(healthy, t, t0)
+            fuse = healthy & ((~do_icp) | (rmse < cfg.insert_rmse_gate))
             # clamp the accepted pose too (ICP can only correct within the
             # correspondence radius, so a bounded prediction keeps t bounded)
             step_t = t - t_prev
@@ -129,7 +160,9 @@ class LidarOdometry:
             t = t_prev + step_t * jnp.minimum(1.0, 2.0 * cfg.max_motion / jnp.maximum(norm, 1e-9))
 
             world = scan @ R.T + t
-            new_map = insert(vmap, world, valid)
+            # a scan registered poorly must NOT be fused into the map
+            insert_valid = valid & fuse
+            new_map = insert(vmap, world, insert_valid)
             new_map = prune(new_map, t, cfg.map_radius)
             return new_map, R, t, rmse, inliers
 

@@ -63,14 +63,21 @@ def point_to_plane_icp(
     damping: float = 1e-4,
     min_planarity: float = 0.7,
     bucketed: bool = True,
+    cell_cap: int = 64,
 ) -> RegistrationResult:
+    """``cell_cap`` must cover the densest possible search cell:
+    ceil(max_corr_dist / map_voxel + 1)^3 points fit in one cell ring —
+    an undersized cap silently truncates candidates as the map densifies,
+    which biases the fitted planes and sends the odometry into a
+    drift -> map-spray -> divergence spiral (observed at cap=32 on the
+    synthetic street at ~frame 18)."""
     n = source.shape[0]
 
     def corr(p_w):
         if bucketed:
             return knn_bucketed(
                 p_w, target, k, cell_size=max_corr_dist,
-                base_valid=target_valid, cell_cap=32,
+                base_valid=target_valid, cell_cap=cell_cap,
             )
         return knn(p_w, target, k, base_valid=target_valid)
 
@@ -94,13 +101,19 @@ def point_to_plane_icp(
         w = jnp.where(absr <= huber_delta, 1.0, huber_delta / jnp.maximum(absr, 1e-9))
         w = w * good.astype(jnp.float32)
 
-        J = jnp.concatenate([jnp.cross(p_w, normal), normal], axis=-1)  # [N, 6]
+        # rotation parameterized about the CURRENT SENSOR POSITION: lever
+        # arms are point ranges (<= max_range), not distances from the world
+        # origin — world-origin lever arms grow with |t| and progressively
+        # ill-condition the 6x6 system (observed as onset-at-|t|~11m drift
+        # regardless of scene content)
+        lever = p_w - t
+        J = jnp.concatenate([jnp.cross(lever, normal), normal], axis=-1)  # [N, 6]
         H = jnp.einsum("ni,n,nj->ij", J, w, J) + damping * jnp.eye(6)
         g = jnp.einsum("ni,n->i", J, w * r)
         delta = -jnp.linalg.solve(H, g)
         dR, dt = se3.se3_exp(delta)
         R_new = dR @ R
-        t_new = (dR @ t[..., None])[..., 0] + dt
+        t_new = t + dt  # rotation pivots on t, so t only takes the dt shift
         return R_new, t_new
 
     R, t = jax.lax.fori_loop(0, iters, body, (R_init, t_init))

@@ -88,6 +88,25 @@ def build_world(rng, length=120.0, half_width=8.0):
             )
             pts_list.append(p)
             lbl_list.append(l)
+    # yaw-rotated roadside clutter: surfaces with diverse normals keep the
+    # point-to-plane Hessian well-conditioned along the travel direction — a
+    # street of purely axis-aligned planes is degenerate in x (walls constrain
+    # y/z only) and any scan-to-map odometry slowly slides along it
+    n_clutter = max(int(length / 2.5), 8)
+    for _ in range(n_clutter):
+        cx = rng.uniform(-8, length + 8)
+        side = rng.choice([-1.0, 1.0])
+        cy = side * rng.uniform(half_width - 2.5, half_width + 2.0)
+        size = rng.uniform(0.4, 1.6, 3)
+        p, l = sample_box(
+            rng, [0.0, 0.0, size[2] / 2], size, density=90.0, label=RAW_POLE
+        )
+        yaw = rng.uniform(0, np.pi)
+        R = np.array(
+            [[np.cos(yaw), -np.sin(yaw), 0], [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]
+        )
+        pts_list.append(p @ R.T + np.array([cx, cy, 0.0]))
+        lbl_list.append(l)
     return np.concatenate(pts_list).astype(np.float32), np.concatenate(lbl_list)
 
 

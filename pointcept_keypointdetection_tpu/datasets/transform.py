@@ -543,7 +543,13 @@ class ContrastiveViewsGenerator:
         for i in (1, 2):
             view = {k: data_dict[k].copy() for k in self.view_keys if k in data_dict}
             view["origin"] = np.arange(n)
-            view["index_valid_keys"] = [k for k in self.view_keys if k in view] + ["origin", "grid_coord"]
+            # pre-augmentation coords ride along (the reference's cross-mask
+            # patches live in the ORIGINAL scene frame, `masked_scene_contrast
+            # _v1m1_base.py:70-141`); only row-indexing ops touch them
+            view["origin_coord"] = data_dict["coord"].copy()
+            view["index_valid_keys"] = [k for k in self.view_keys if k in view] + [
+                "origin", "origin_coord", "grid_coord"
+            ]
             view = self.view_trans(view)
             feats = [view[k].reshape(len(view["coord"]), -1) for k in self.view_keys if k != "coord" and k in view]
             out[f"view{i}_coord"] = view["coord"].astype(np.float32)
@@ -552,6 +558,7 @@ class ContrastiveViewsGenerator:
             )
             out[f"view{i}_grid_coord"] = view.get("grid_coord", np.zeros_like(view["coord"], dtype=np.int64)).astype(np.int64)
             out[f"view{i}_origin"] = view["origin"].astype(np.int64)
+            out[f"view{i}_origin_coord"] = view["origin_coord"].astype(np.float32)
             if i == 1 and "color" in view:
                 out["view1_color_target"] = view["color"].astype(np.float32)
             if i == 1 and "normal" in view:

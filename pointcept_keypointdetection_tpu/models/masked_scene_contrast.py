@@ -72,6 +72,7 @@ class MaskedSceneContrast(nn.Module):
     reconstruct_weight: float = 1.0
     reconstruct_color: bool = True
     reconstruct_normal: bool = False
+    mask_grid_size: float = 0.1  # origin-frame patch size (m), cross-mask path
     mask_rate: float = 0.4
     num_matches: int = 4096
     mask_grid: int = 8  # voxel super-cube size for patch masking
@@ -95,30 +96,55 @@ class MaskedSceneContrast(nn.Module):
 
         v1, v2 = view(1), view(2)
 
-        # patch masking on view1 (mask token replaces features of masked super-voxels)
+        # CROSS masks (`masked_scene_contrast_v1m1_base.py:70-141`): patches
+        # live in the ORIGINAL scene frame and are split into two DISJOINT
+        # sets — set 1 masks view1, set 2 masks view2 — so the contrastive
+        # pairs always include (masked, visible) combinations.  Patch
+        # selection: salted hash of the origin-frame patch cell, u < rate ->
+        # set 1, rate <= u < 2*rate -> set 2 (randperm fraction in
+        # expectation).  Falls back to view1-only grid masking when the
+        # pipeline provides no origin coords.
         mask_token = self.param(
             "mask_token", nn.initializers.normal(0.02), (self.backbone_in_channels,), jnp.float32
         )
+        masked = jnp.zeros(v1.num_points, bool)
+        masked2 = jnp.zeros(v2.num_points, bool)
         if train:
             rng = self.make_rng("mask")
-            super_vox = v1.grid_coord >> (self.mask_grid - 1).bit_length()
-            h = (
-                super_vox[:, 0].astype(jnp.uint32) * jnp.uint32(73856093)
-                ^ super_vox[:, 1].astype(jnp.uint32) * jnp.uint32(19349663)
-                ^ super_vox[:, 2].astype(jnp.uint32) * jnp.uint32(83492791)
-            )
-            thresh = jnp.uint32(int(self.mask_rate * 0xFFFFFFFF))
             salt = jax.random.randint(rng, (), 0, 2**31 - 1, jnp.int32).astype(jnp.uint32)
-            masked = ((h ^ salt) * jnp.uint32(2654435761)) < thresh
-        else:
-            masked = jnp.zeros(v1.num_points, bool)
+
+            def patch_u(cells, batch_idx):
+                h = (
+                    cells[:, 0].astype(jnp.uint32) * jnp.uint32(73856093)
+                    ^ cells[:, 1].astype(jnp.uint32) * jnp.uint32(19349663)
+                    ^ cells[:, 2].astype(jnp.uint32) * jnp.uint32(83492791)
+                    ^ batch_idx.astype(jnp.uint32) * jnp.uint32(10242269)
+                )
+                return ((h ^ salt) * jnp.uint32(2654435761)).astype(jnp.float32) / jnp.float32(2**32)
+
+            if "view1_origin_coord" in batch:
+                assert self.mask_rate <= 0.5
+                for i, v in ((1, v1), (2, v2)):
+                    oc = batch[f"view{i}_origin_coord"]
+                    cells = jnp.floor(oc / self.mask_grid_size).astype(jnp.int32)
+                    u = patch_u(cells, v.batch)
+                    if i == 1:
+                        masked = u < self.mask_rate
+                    else:
+                        masked2 = (u >= self.mask_rate) & (u < 2 * self.mask_rate)
+            else:
+                super_vox = v1.grid_coord >> (self.mask_grid - 1).bit_length()
+                masked = patch_u(super_vox, jnp.zeros_like(v1.batch)) < self.mask_rate
         v1_in = v1.replace(
             feat=jnp.where(masked[:, None], mask_token.astype(v1.feat.dtype), v1.feat)
+        )
+        v2_in = v2.replace(
+            feat=jnp.where(masked2[:, None], mask_token.astype(v2.feat.dtype), v2.feat)
         )
 
         bb = build_model(dict(self.backbone))
         f1 = bb(v1_in, train=train)
-        f2 = bb(v2, train=train)
+        f2 = bb(v2_in, train=train)
 
         idx1, idx2, mvalid = match_views(
             batch["view1_origin"].reshape(-1),

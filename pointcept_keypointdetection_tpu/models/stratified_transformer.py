@@ -3,9 +3,12 @@
 Capability parity with `pointcept/models/stratified_transformer/` (v1m1):
 each query attends to dense keys from its own window plus sparse keys
 sampled from a larger surrounding window (the stratified trick), with
-learned relative position bias; KPConv-style stem replaced by a sparse-conv
-stem; pointops2's fused attention kernels replaced by masked dense attention
-over serialized patches.
+learned relative position bias; pointops2's fused attention kernels replaced
+by masked dense attention over serialized patches.  The stem is either the
+reference's KPConv (`stratified_transformer_v1m2_refine.py:514-600`,
+torch_points3d KPConvLayer — reimplemented as an einsum kernel-point
+convolution over knn neighborhoods with linear-correlation influences and a
+fibonacci-sphere kernel disposition) or a sparse SubMConv (``stem="subm"``).
 
 TPU re-design: windows are serialized patches (size K); the sparse distant
 keys of a query in patch ``p`` are every R-th point of the enclosing
@@ -33,6 +36,62 @@ from .structure import PointBatch
 from .sparse_unet import SubMConv
 
 _DEPTH = 16
+
+
+def _fibonacci_sphere(n):
+    import numpy as np
+
+    i = np.arange(n)
+    phi = np.pi * (3.0 - np.sqrt(5.0))
+    y = 1 - 2 * (i + 0.5) / n
+    r = np.sqrt(np.maximum(1 - y * y, 0))
+    return np.stack([np.cos(phi * i) * r, y, np.sin(phi * i) * r], 1)
+
+
+class KPConvStem(nn.Module):
+    """Kernel-point convolution (KPConv rigid): for each point, knn neighbors
+    are weighted by linear correlation to ``num_kernel_points`` fixed kernel
+    points (center + a fibonacci-sphere shell at 0.66*radius — the analogue
+    of torch_points3d's optimized disposition) and mixed through per-kernel
+    weight matrices.  One einsum per stem: [N, nbr, K] influences x
+    [N, nbr, Cin] feats x [K, Cin, Cout] weights, all MXU-shaped."""
+
+    channels: int
+    radius: float = 0.1
+    num_neighbors: int = 16
+    num_kernel_points: int = 15
+
+    @nn.compact
+    def __call__(self, point: PointBatch, train: bool):
+        import numpy as np
+
+        from ..ops.knn import knn_bucketed
+
+        k = self.num_kernel_points
+        kp = np.concatenate(
+            [np.zeros((1, 3)), _fibonacci_sphere(k - 1) * 0.66 * self.radius], 0
+        ).astype(np.float32)
+        sigma = 0.3 * self.radius  # KP influence extent (KPConv KP_extent)
+
+        nbr_idx, sqd = knn_bucketed(
+            point.coord, point.coord, self.num_neighbors, cell_size=self.radius,
+            query_batch=point.batch, base_batch=point.batch, base_valid=point.valid,
+            cell_cap=64,
+        )
+        nbr_ok = (sqd < self.radius**2) & point.valid[:, None]
+        rel = jnp.take(point.coord, nbr_idx, axis=0) - point.coord[:, None, :]  # [N, nbr, 3]
+        d = jnp.linalg.norm(rel[:, :, None, :] - jnp.asarray(kp)[None, None], axis=-1)
+        infl = jnp.maximum(0.0, 1.0 - d / sigma) * nbr_ok[..., None]  # [N, nbr, K]
+        nbr_feat = jnp.take(point.feat, nbr_idx, axis=0)  # [N, nbr, Cin]
+        w = self.param(
+            "weight",
+            nn.initializers.truncated_normal(0.02),
+            (k, point.feat.shape[-1], self.channels),
+            jnp.float32,
+        )
+        agg = jnp.einsum("nbk,nbc->nkc", infl, nbr_feat.astype(jnp.float32))
+        out = jnp.einsum("nkc,kcd->nd", agg, w, preferred_element_type=jnp.float32)
+        return out.astype(point.feat.dtype)
 
 
 class StratifiedAttention(nn.Module):
@@ -123,15 +182,20 @@ class StratifiedTransformer(nn.Module):
     drop_path_rate: float = 0.3
     slot_divisors: Sequence[int] = (1, 2, 4, 8)
     num_classes: int = 0
+    stem: str = "kpconv"  # "kpconv" (reference) | "subm" (sparse-conv)
+    kp_radius: float = 0.1  # KPConv stem neighborhood radius (m)
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool = False):
         num_stages = len(self.depths)
         slot0 = point.slot_size
         batch = point.batch
-        idx0 = build_voxel_index(point.grid_coord, batch, point.valid, _DEPTH)
-        kmap0 = build_kernel_map(idx0, point.grid_coord, batch, point.valid, SparseConvSpec.cube(3), _DEPTH)
-        feat = SubMConv(self.channels[0], SparseConvSpec.cube(3), name="stem")(point.feat, kmap0)
+        if self.stem == "kpconv":
+            feat = KPConvStem(self.channels[0], radius=self.kp_radius, name="stem")(point, train)
+        else:
+            idx0 = build_voxel_index(point.grid_coord, batch, point.valid, _DEPTH)
+            kmap0 = build_kernel_map(idx0, point.grid_coord, batch, point.valid, SparseConvSpec.cube(3), _DEPTH)
+            feat = SubMConv(self.channels[0], SparseConvSpec.cube(3), name="stem")(point.feat, kmap0)
         feat = MaskedBatchNorm(self.channels[0], name="stem_norm")(feat, point.valid, not train)
         x = point.replace(feat=nn.gelu(feat)).serialize(orders=("z",), depth=_DEPTH)
 

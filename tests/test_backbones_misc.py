@@ -123,3 +123,29 @@ def test_spvcnn_trilinear_devoxelize():
     )
     out = np.asarray(voxel_to_point_trilinear(stage, pts, cont, stride=1)).reshape(-1)
     np.testing.assert_allclose(out, [1.0, 2.0, 3.0], atol=1e-5)
+
+
+def test_kpconv_stem_center_influence():
+    """A lone point's only neighbor is itself: rel=0 hits only the CENTER
+    kernel point (shell points sit at 0.66r > 0.3r extent), so the output is
+    exactly feat @ W[0]."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcept_keypointdetection_tpu.models.stratified_transformer import KPConvStem
+    from pointcept_keypointdetection_tpu.models.structure import PointBatch
+
+    pt = PointBatch(
+        coord=jnp.asarray([[0.0, 0, 0], [100.0, 100, 100]], jnp.float32),  # 2nd far away
+        feat=jnp.asarray([[1.0, 2.0], [0.0, 0.0]], jnp.float32),
+        grid_coord=jnp.zeros((2, 3), jnp.int32),
+        valid=jnp.asarray([True, False]),
+        num_samples=1,
+    )
+    stem = KPConvStem(channels=4, radius=0.2, num_neighbors=2)
+    variables = stem.init(jax.random.PRNGKey(0), pt, False)
+    out = stem.apply(variables, pt, False)
+    w0 = variables["params"]["weight"][0]  # [Cin, Cout]
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(jnp.asarray([1.0, 2.0]) @ w0), rtol=1e-5
+    )

@@ -7,12 +7,16 @@ _base_ = ["./offset-keypoint-mini.py"]
 
 batch_size = 4
 slot_size = 4096
-eval_epoch = 24
+eval_epoch = 32
 seed = 42
 num_worker = 2
 
 model = dict(
+    # real pig clouds are N x 7 (xyz + normal + curvature,
+    # `keypoint_dataset.py:114-143`): coords in the features break the
+    # ellipsoid's mirror symmetry that normals alone cannot
     backbone_conf=dict(
+        in_channels=7,
         enc_channels=(32, 64, 128),
         enc_num_head=(2, 4, 8),
         dec_channels=(32, 64),
@@ -31,3 +35,18 @@ data = dict(
     train=dict(num_scenes=32, num_points=6000, loop=2, offset_radius=120.0),
     val=dict(num_scenes=8, num_points=6000, offset_radius=120.0),
 )
+
+data_train_transform = [
+    dict(type="GridSample", grid_size=0.02, mode="train", return_grid_coord=True),
+    dict(type="ShufflePoint"),
+    dict(type="Collect",
+         keys=("coord", "grid_coord", "keypoint_offset", "keypoint_mask", "scale", "centroid"),
+         feat_keys=("coord", "feat")),
+]
+data["train"]["transform"] = data_train_transform
+data["val"]["transform"] = [
+    dict(type="GridSample", grid_size=0.02, mode="train", return_grid_coord=True),
+    dict(type="Collect",
+         keys=("coord", "grid_coord", "keypoint_offset", "keypoint_mask", "scale", "centroid"),
+         feat_keys=("coord", "feat")),
+]

@@ -32,6 +32,7 @@ VALID_INDEX_KEYS = (
     "coord",
     "origin_coord",
     "color",
+    "feat",  # raw per-point features (keypoint datasets ship N x 7 assets)
     "normal",
     "strength",
     "segment",

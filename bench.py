@@ -169,7 +169,8 @@ def _run_bench():
     scenes_per_sec = B / per_iter
 
     backend = jax.default_backend()
-    _emit(scenes_per_sec, "" if backend != "cpu" else " [CPU FALLBACK — no TPU grant]")
+    suffix = "" if backend != "cpu" else f" [CPU FALLBACK S={S} — no TPU grant]"
+    _emit(scenes_per_sec, suffix)
 
 
 def _spawn_child(extra_env):
@@ -221,9 +222,12 @@ def main():
 
     # Last resort: measure on CPU so the round still records an official
     # number (clearly marked), instead of rc=1 with no JSON (round 1's fate).
+    # Smaller scene: the full 102k workload takes tens of minutes on CPU.
     print("# falling back to CPU measurement", file=sys.stderr)
     try:
-        rc, json_line, _ = _spawn_child({"JAX_PLATFORMS": "cpu"})
+        rc, json_line, _ = _spawn_child(
+            {"JAX_PLATFORMS": "cpu", "PKT_BENCH_S": os.environ.get("PKT_BENCH_S", "16384")}
+        )
         if rc == 0 and json_line:
             print(json_line, flush=True)
             return

@@ -10,9 +10,9 @@ Patches are tiled in groups so the MXU sees [T*K, D] x [D, T*K] matmuls with
 T*K >= 128 rows even for small patches (PTv3 default K=48 -> zero-padded to
 the sublane tile; grouping amortizes).
 
-Backward currently recomputes through the XLA path via custom_vjp (correct,
-and training still gets the fused forward); a fused Pallas backward is the
-planned next step.
+Backward is a fused Pallas kernel too: probs are recomputed on-chip from
+(q, k) — no [P, K, K] attention matrix ever touches HBM in either direction
+(flash-attention's memory contract, trivial here because a patch fits VMEM).
 """
 
 from __future__ import annotations
@@ -47,6 +47,75 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float):
         probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
     out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+    # recompute probs on-chip, then the standard softmax-attention backward
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q * scale, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    mask = mask_ref[:, 0, :]
+    logits = jnp.where(mask[:, None, :] != 0, logits, -1e9)
+    probs = jax.nn.softmax(logits, axis=-1)  # [T, K, K]
+    # dv = probs^T g
+    dv = jax.lax.dot_general(
+        probs, g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    # dprobs = g v^T; dlogits = probs * (dprobs - rowsum(dprobs * probs))
+    dprobs = jax.lax.dot_general(
+        g, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1, keepdims=True))
+    dq = jax.lax.dot_general(
+        dlogits, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dk = jax.lax.dot_general(
+        dlogits, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _layout(qkv_sorted, valid_sorted, patch_size: int):
+    n, three, h, d = qkv_sorted.shape
+    k = patch_size
+    p = n // k
+    t = max(1, min(p, 512 // k if k < 512 else 1))
+    while p % t != 0:
+        t -= 1
+    qkvh = qkv_sorted.reshape(p, k, 3, h, d).transpose(2, 3, 0, 1, 4)  # [3, H, P, K, D]
+    mask = valid_sorted.reshape(p, 1, k).astype(jnp.int32)
+    return qkvh, mask, (n, h, d, k, p, t)
+
+
+def _pallas_backward(qkv_sorted, valid_sorted, g, patch_size: int, scale: float):
+    qkvh, mask, (n, h, d, k, p, t) = _layout(qkv_sorted, valid_sorted, patch_size)
+    q, kk, v = qkvh[0], qkvh[1], qkvh[2]
+    gh = g.reshape(p, k, h, d).transpose(2, 0, 1, 3)  # [H, P, K, D]
+    grid = (p // t, h)
+    spec = pl.BlockSpec((1, t, k, d), lambda i, j: (j, i, 0, 0), memory_space=pltpu.VMEM)
+    spec_mask = pl.BlockSpec((t, 1, k), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((h, p, k, d), qkv_sorted.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=grid,
+        in_specs=[spec, spec, spec, spec_mask, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[out_shape, out_shape, out_shape],
+    )(q.reshape(h, p, k, d), kk.reshape(h, p, k, d), v.reshape(h, p, k, d), mask, gh)
+    # [3 x (H, P, K, D)] -> [N, 3, H, D]
+    dqkv = jnp.stack([dq, dk, dv], axis=0).transpose(2, 3, 0, 1, 4).reshape(n, 3, h, d)
+    return dqkv
 
 
 def _pallas_forward(qkv_sorted, valid_sorted, patch_size: int, scale: float):
@@ -98,10 +167,7 @@ def _fwd(qkv_sorted, valid_sorted, patch_size, scale):
 
 def _bwd(patch_size, scale, residuals, g):
     qkv_sorted, valid_sorted = residuals
-    _, vjp = jax.vjp(
-        lambda qkv: patch_attention_xla(qkv, valid_sorted, patch_size, scale), qkv_sorted
-    )
-    (dqkv,) = vjp(g)
+    dqkv = _pallas_backward(qkv_sorted, valid_sorted, g, patch_size, scale)
     return dqkv, None
 
 

@@ -15,7 +15,8 @@ from .transform import Compose
 
 
 def make_scene(rng: np.random.Generator, num_points: int, num_classes: int):
-    """A toy room: floor plane, wall plane, and blobby objects."""
+    """A toy room: floor plane, wall plane, and blobby objects (each blob is
+    one INSTANCE; floor/wall get instance -1)."""
     n_floor = num_points // 3
     n_wall = num_points // 3
     n_obj = num_points - n_floor - n_wall
@@ -27,7 +28,9 @@ def make_scene(rng: np.random.Generator, num_points: int, num_classes: int):
     )
     objs = []
     labels = []
+    inst_ids = []
     n_left = n_obj
+    inst = 0
     while n_left > 0:
         k = int(min(rng.integers(200, 600), n_left))
         center = np.array([rng.uniform(0.5, 3.5), rng.uniform(0.5, 3.5), rng.uniform(0.2, 1.0)])
@@ -37,17 +40,22 @@ def make_scene(rng: np.random.Generator, num_points: int, num_classes: int):
         cls = 2 + min(int((center[2] - 0.2) / 0.8 * bands), bands - 1)
         objs.append(pts)
         labels.append(np.full(k, cls))
+        inst_ids.append(np.full(k, inst))
+        inst += 1
         n_left -= k
     coord = np.concatenate([floor, wall] + objs).astype(np.float32)
     segment = np.concatenate(
         [np.zeros(n_floor), np.ones(n_wall)] + labels
     ).astype(np.int32)
     segment = np.minimum(segment, num_classes - 1)
+    instance = np.concatenate(
+        [np.full(n_floor, -1), np.full(n_wall, -1)] + (inst_ids if inst_ids else [])
+    ).astype(np.int32)
     # color carries a per-class tint + noise -> learnable from color too
     base = (coord - coord.min(0)) / (np.ptp(coord, axis=0) + 1e-6) * 60
     tint = np.stack([(segment * 53) % 256, (segment * 101) % 256, (segment * 197) % 256], 1)
     color = np.clip(0.7 * tint + base + rng.normal(0, 8, coord.shape), 0, 255)
-    return coord, color.astype(np.float32), segment
+    return coord, color.astype(np.float32), segment, instance
 
 
 @DATASETS.register_module()
@@ -84,8 +92,10 @@ class SyntheticSemSegDataset:
     def get_data(self, idx):
         idx = idx % self.num_scenes
         rng = np.random.default_rng(self.seed + idx)
-        coord, color, segment = make_scene(rng, self.num_points, self.num_classes)
-        return dict(coord=coord, color=color, segment=segment, name=f"scene{idx}")
+        coord, color, segment, instance = make_scene(rng, self.num_points, self.num_classes)
+        return dict(
+            coord=coord, color=color, segment=segment, instance=instance, name=f"scene{idx}"
+        )
 
     def prepare_test_data(self, idx):
         from copy import deepcopy

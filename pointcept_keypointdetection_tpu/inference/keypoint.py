@@ -82,6 +82,7 @@ def normalize_cloud(coord: np.ndarray) -> Tuple[np.ndarray, np.ndarray, float]:
 
 class _PredictorBase:
     def __init__(self, model_cfg: Dict, checkpoint: Optional[str] = None, slot_size: int = 8192):
+        self._model_cfg = dict(model_cfg)
         self.model = build_model(dict(model_cfg))
         self.slot_size = slot_size
         self._variables = None
@@ -98,12 +99,24 @@ class _PredictorBase:
         key = z_order_encode_np(grid, depth=16)
         _, first = np.unique(key, return_index=True)
         sel = np.sort(first)
+        f = feat[sel].astype(np.float32)
+        if self._expects_coord_feat(f.shape[1]):
+            # training pipelines with feat_keys=("coord", "feat") — the pig
+            # convention (N x 7: xyz + normal + curvature) — feed NORMALIZED
+            # coords as the leading feature channels
+            f = np.concatenate([ncoord[sel].astype(np.float32), f], axis=1)
         data = dict(
             coord=ncoord[sel],
-            feat=feat[sel].astype(np.float32),
+            feat=f,
             grid_coord=grid[sel].astype(np.int32),
         )
         return data, centroid, scale, sel
+
+    def _expects_coord_feat(self, feat_width: int) -> bool:
+        cfg = self._model_cfg or {}
+        bb = cfg.get("backbone_conf") or cfg.get("backbone") or {}
+        cin = bb.get("in_channels")
+        return cin is not None and cin == feat_width + 3
 
     def _ensure_built(self, batch):
         if self._variables is None:
@@ -148,6 +161,13 @@ class OffsetKeypointPredictor(_PredictorBase):
         from ..datasets.collate import collate, pad_sample
 
         n = data["coord"].shape[0]
+        if n > self.slot_size:
+            # subsample HERE (deterministically) so the rows of data["coord"]
+            # stay aligned with the model's per-row outputs — pad_sample's own
+            # random subsample would decouple them
+            keep = np.sort(np.random.default_rng(0).choice(n, self.slot_size, replace=False))
+            data = {k: v[keep] for k, v in data.items()}
+            n = self.slot_size
         batch = collate([pad_sample(data, self.slot_size)], self.slot_size)
         from ..engines.test import sample_to_device
 

@@ -99,3 +99,40 @@ def test_odometry_on_synthetic_trajectory(rng):
         odo.process(scan[keep])
     ate, _ = absolute_trajectory_error(odo.positions, np.array(gt_positions), align=False)
     assert ate < 0.1, ate
+
+
+def test_closed_loop_odometry_tracks_synthetic_street():
+    """Closed-loop regression for the velocity-damped scan-to-map odometry:
+    10 frames of the synthetic street must track GT to centimeters (the
+    round-2 failure mode was accelerating drift from undamped velocity)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import numpy as np
+    from make_synthetic_kitti import build_world, trajectory
+
+    from pointcept_keypointdetection_tpu.slam.pipeline import LidarOdometry, OdometryConfig
+
+    rng = np.random.default_rng(0)
+    world, _ = build_world(rng, length=30.0)
+    poses = trajectory(10, step=0.6)
+    odo = LidarOdometry(OdometryConfig(
+        scan_capacity=4096, map_capacity=32768, scan_voxel=0.5, map_voxel=0.4,
+        icp_iters=6, knn_k=5, max_corr_dist=1.0, min_planarity=0.5,
+        map_radius=80.0, min_range=2.0, max_range=40.0,
+    ))
+    errs = []
+    T0_inv = np.linalg.inv(poses[0])  # odometry world frame = first sensor pose
+    for t in range(10):
+        T = poses[t]
+        local = (world - T[:3, 3]) @ T[:3, :3]
+        r = np.linalg.norm(local, axis=1)
+        keep = (r > 2.1) & (r < 40.0)
+        pts = local[keep]
+        if len(pts) > 20000:
+            pts = pts[rng.choice(len(pts), 20000, replace=False)]
+        pts = (pts + rng.normal(0, 0.02, pts.shape)).astype(np.float32)
+        scan = np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], 1)
+        pose = odo.process(scan)
+        rel = T0_inv @ T
+        errs.append(np.linalg.norm(pose[:3, 3] - rel[:3, 3]))
+    assert max(errs) < 0.05, errs

@@ -2,15 +2,20 @@ import os
 
 # Run the test suite on CPU with 8 virtual devices so multi-device sharding
 # paths are exercised without TPU hardware (see SURVEY.md §4).  The container's
-# sitecustomize pre-registers the axon TPU backend before conftest runs, so the
-# platform must be forced via jax.config (env vars alone are too late).
+# sitecustomize pre-registers the axon TPU backend before conftest runs;
+# jax.config alone is NOT enough once a real TPU grant is live (tests then
+# silently run on the chip: wrong numerics, 1 device, and contention with any
+# concurrent bench) — force the env var too, before jax initializes a backend.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np
 import pytest

@@ -10,6 +10,24 @@ model = dict(
     context_channels=256,
     backbone_out_channels=96,
     embed_dim=512,
+    # language-guided head: CLIP text embeddings of the joint vocabulary
+    # (reference `semseg-ppt-v1m1-0-sc-st-spunet.py:41-52`); export the
+    # frozen table offline with tools/export_clip_class_embeddings.py
+    # --config <this file> and point class_embedding_path at the .npy
+    template="[x]",
+    # fmt: off
+    class_name=(
+        "wall", "floor", "cabinet", "bed", "chair", "sofa", "table", "door",
+        "window", "bookshelf", "bookcase", "picture", "counter", "desk", "shelves", "curtain",
+        "dresser", "pillow", "mirror", "ceiling", "refrigerator", "television", "shower curtain", "nightstand",
+        "toilet", "sink", "lamp", "bathtub", "garbagebin", "board", "beam", "column",
+        "clutter", "otherstructure", "otherfurniture", "otherprop",
+    ),
+    valid_index=(
+        (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 15, 20, 22, 24, 25, 27, 34),
+        (0, 1, 2, 3, 4, 5, 6, 7, 8, 11, 13, 14, 15, 16, 17, 18, 19, 20, 21, 23, 25, 26, 33, 34, 35),
+    ),
+    # fmt: on
     backbone=dict(
         type="SpUNet-v1m3",
         in_channels=6,

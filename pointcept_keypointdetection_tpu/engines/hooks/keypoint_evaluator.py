@@ -88,11 +88,43 @@ def reconstruct_keypoints_from_offsets(coord, offset_pred, mask_prob, batch_idx,
     return cand[rows.reshape(-1), jnp.tile(jnp.arange(k), num_samples), :].reshape(num_samples, k, 3)
 
 
+def reconstruct_keypoints_weighted(
+    coord, offset_pred, mask_prob, valid, num_samples, threshold=0.5
+):
+    """Confidence-weighted reconstruction (`tools/infer_offset.py:573-597`).
+
+    Mean of (point + offset) over points with mask prob > threshold, weighted
+    by the probability; falls back to the argmax candidate when no point
+    passes.  Averaging over the candidate set cancels per-point surface noise
+    that the single-argmax-point estimate inherits.
+    """
+    n, k, _ = offset_pred.shape
+    s = n // num_samples
+    cand = (coord[:, None, :] + offset_pred).reshape(num_samples, s, k, 3)
+    conf = jnp.where(valid[:, None], mask_prob, 0.0).reshape(num_samples, s, k)
+    w = jnp.where(conf > threshold, conf, 0.0)[..., None]  # [B, S, K, 1]
+    wsum = jnp.sum(w, axis=1)  # [B, K, 1]
+    weighted = jnp.sum(cand * w, axis=1) / jnp.maximum(wsum, 1e-6)
+    best = reconstruct_keypoints_from_offsets(
+        coord, offset_pred, mask_prob, None, valid, num_samples
+    )
+    return jnp.where(wsum > 0, weighted, best)
+
+
 @HOOKS.register_module()
 class OffsetKeypointEvaluator(HookBase):
-    """For dense offset models emitting ``offset_pred`` [N,K,3] + ``mask_logits`` [N,K]."""
+    """For dense offset models emitting ``offset_pred`` [N,K,3] + ``mask_logits`` [N,K].
 
-    def __init__(self):
+    Reports BOTH reconstruction modes each epoch (`tools/infer_offset.py`
+    aggregation options): ``argmax`` (reference evaluator parity,
+    `hooks/offset_keypoint_evaluator.py:74-78`) and ``weighted``.  The
+    checkpoint-selection metric follows ``aggregate`` (default argmax).
+    """
+
+    def __init__(self, aggregate: str = "argmax", threshold: float = 0.5):
+        assert aggregate in ("argmax", "weighted"), aggregate
+        self.aggregate = aggregate
+        self.threshold = threshold
         self._eval_step = None
 
     def _build(self):
@@ -116,11 +148,19 @@ class OffsetKeypointEvaluator(HookBase):
                 jnp.sum(w, axis=1), 1e-6
             )
 
-            pred_kp = reconstruct_keypoints_from_offsets(
+            pred_arg = reconstruct_keypoints_from_offsets(
                 point.coord, offset_pred, mask_prob, point.batch, point.valid, num_samples
             )
-            dist = jnp.linalg.norm(pred_kp - gt_kp, axis=-1) * batch["scale"][:, None]
-            return jnp.sum(dist, axis=0), jnp.asarray(num_samples, jnp.float32)
+            pred_wtd = reconstruct_keypoints_weighted(
+                point.coord, offset_pred, mask_prob, point.valid, num_samples, self.threshold
+            )
+            dist_arg = jnp.linalg.norm(pred_arg - gt_kp, axis=-1) * batch["scale"][:, None]
+            dist_wtd = jnp.linalg.norm(pred_wtd - gt_kp, axis=-1) * batch["scale"][:, None]
+            return (
+                jnp.sum(dist_arg, axis=0),
+                jnp.sum(dist_wtd, axis=0),
+                jnp.asarray(num_samples, jnp.float32),
+            )
 
         self._eval_step = jax.jit(eval_step, static_argnums=(2,))
 
@@ -133,19 +173,24 @@ class OffsetKeypointEvaluator(HookBase):
 
         trainer = self.trainer
         logger = get_root_logger()
-        dist_sum = None
+        sums = {"argmax": None, "weighted": None}
         count = 0.0
         for batch_np in trainer.val_loader:
             batch = shard_batch(batch_np, trainer.mesh)
             ns = batch.pop("num_samples", batch_np["num_samples"])
-            d, n = self._eval_step(trainer.state, batch, ns)
-            dist_sum = np.asarray(d) if dist_sum is None else dist_sum + np.asarray(d)
+            da, dw, n = self._eval_step(trainer.state, batch, ns)
+            for key, d in (("argmax", da), ("weighted", dw)):
+                sums[key] = np.asarray(d) if sums[key] is None else sums[key] + np.asarray(d)
             count += float(n)
-        per_kp = dist_sum / max(count, 1)
-        mean_dist = float(per_kp.mean())
-        for ki, v in enumerate(per_kp):
-            logger.info(f"Keypoint_{ki} mean distance: {v:.2f}")
-        logger.info(f"Val result: mean keypoint distance {mean_dist:.2f}")
+        means = {}
+        for key, dist_sum in sums.items():
+            per_kp = dist_sum / max(count, 1)
+            means[key] = float(per_kp.mean())
+            per_kp_str = " / ".join(f"{v:.1f}" for v in per_kp)
+            logger.info(f"Keypoint mean distance [{key}]: {means[key]:.2f} (per-KP: {per_kp_str})")
+        mean_dist = means[self.aggregate]
+        logger.info(f"Val result: mean keypoint distance {mean_dist:.2f} ({self.aggregate})")
         trainer.storage.put_scalar("val/keypoint_dist", mean_dist)
+        trainer.storage.put_scalar("val/keypoint_dist_weighted", means["weighted"])
         trainer.comm_info["current_metric_value"] = -mean_dist
         trainer.comm_info["current_metric_name"] = "neg_keypoint_dist"

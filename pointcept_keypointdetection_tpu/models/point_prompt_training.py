@@ -164,6 +164,10 @@ class LanguageGuidedPPT(nn.Module):
     # per-condition indices into class_name; None -> contiguous slices sized
     # by num_classes (v1m3 semantics)
     valid_index: Any = None
+    # prompt template for the offline CLIP export (reference `template="[x]"`,
+    # `point_prompt_training_v1m1_language_guided.py:67`); unused at runtime —
+    # tools/export_clip_class_embeddings.py reads it from the config
+    template: str = "[x]"
     num_classes: Sequence[int] = (25, 20, 13)
     context_channels: int = 256
     backbone_out_channels: int = 96

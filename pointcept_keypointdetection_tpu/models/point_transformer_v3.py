@@ -32,7 +32,15 @@ from ..ops.attention import patch_attention_xla, take_permutation
 from ..ops.codes import code_or_batch
 from ..ops.segment import segment_mean, segment_reduce
 from ..ops.serialization import z_order_encode
-from ..ops.sparse import SparseConvSpec, build_kernel_map, build_voxel_index, sparse_conv
+from ..ops.sparse import (
+    SparseConvSpec,
+    build_kernel_map,
+    build_parent_index,
+    build_voxel_index,
+    derive_kernel_map,
+    kmap_single_lane,
+    sparse_conv,
+)
 from ..ops.voxelize import slotted_unique
 from .builder import MODELS
 from .norm import CondLayerNorm, DropPath, LayerNorm, MaskedBatchNorm
@@ -386,6 +394,12 @@ class PointTransformerV3(nn.Module):
     lora_rank: int = 0  # >0 adds LoRA adapters on every attention qkv
     cpe_kernel_size: int = 3  # xCPE neighborhood (KeypointPTv3Plus uses larger)
     cpe_bottleneck: int = 0  # >0: bottleneck large-kernel xCPE (PTv3Plus)
+    # Kernel-map code depth: join keys only need injectivity (unlike the
+    # serialization codes, which stay at depth 16 for reference bit-parity),
+    # so configs whose grids are bounded by 2^kmap_depth per axis (ScanNet at
+    # 0.02 m: 400 < 1024 -> 10) can set this low; when 3*kmap_depth + batch
+    # bits <= 31 every join sorts ONE u32 key instead of an (hi, lo) pair.
+    kmap_depth: int = 16
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool = False, condition=None):
@@ -409,12 +423,49 @@ class PointTransformerV3(nn.Module):
         shuffle_key = (
             self.make_rng("shuffle") if train and self.shuffle_orders else None
         )
+        kd = self.kmap_depth
+        sl = kmap_single_lane(kd, point.num_samples)
+
+        # serialize FIRST: when orders[0] is "z" and orders aren't shuffled
+        # (eval/bench), the serialization's own argsort doubles as the
+        # kernel-map voxel index sort (z(c >> s) = z(c) >> 3s prefix property)
+        point = point.serialize(orders=tuple(self.order), depth=_DEPTH, shuffle_key=shuffle_key)
+
+        def reuse_perm(pt):
+            if shuffle_key is None and self.order[0] == "z":
+                return jnp.take(pt.serialized_order, 0, axis=0)
+            return None
 
         # ---- embedding (stem SubMConv k=5 + BN + GELU) -------------------
         batch = point.batch
-        index0 = build_voxel_index(point.grid_coord, batch, point.valid, _DEPTH)
         spec_stem = SparseConvSpec.cube(self.stem_kernel)
-        kmap_stem = build_kernel_map(index0, point.grid_coord, batch, point.valid, spec_stem, _DEPTH)
+        kmap_cpe0 = None
+        if self.stem_kernel > 3 or self.cpe_kernel_size > 3:
+            # two-level build: one coarse k=3 join + subvoxel-table gathers
+            # derives BOTH the k=5 stem map and the k=3 xCPE map (~4x cheaper
+            # than the direct 62-offset join; see ops/sparse.ParentCellIndex)
+            r = max(self.stem_kernel, self.cpe_kernel_size) // 2
+            shift = max((r - 1).bit_length(), 1)
+            parent = build_parent_index(
+                point.grid_coord, batch, point.valid, shift, kd, single_lane=sl,
+                precomputed_perm=reuse_perm(point),
+            )
+            kmap_stem = derive_kernel_map(parent, point.valid, spec_stem)
+            kmap_cpe0 = (
+                kmap_stem
+                if self.cpe_kernel_size == self.stem_kernel
+                else derive_kernel_map(parent, point.valid, SparseConvSpec.cube(self.cpe_kernel_size))
+            )
+        else:
+            index0 = build_voxel_index(
+                point.grid_coord, batch, point.valid, kd, single_lane=sl,
+                precomputed_perm=reuse_perm(point),
+            )
+            kmap_stem = build_kernel_map(
+                index0, point.grid_coord, batch, point.valid, spec_stem, kd, single_lane=sl
+            )
+            if self.cpe_kernel_size == self.stem_kernel:
+                kmap_cpe0 = kmap_stem
         w = self.param(
             "stem_weight",
             nn.initializers.truncated_normal(0.02, lower=-0.04, upper=0.04),
@@ -433,7 +484,6 @@ class PointTransformerV3(nn.Module):
                 feat, point.valid, not train
             )
         point = point.replace(feat=nn.gelu(feat))
-        point = point.serialize(orders=tuple(self.order), depth=_DEPTH, shuffle_key=shuffle_key)
 
         # ---- encoder -----------------------------------------------------
         total_blocks = sum(self.enc_depths) + (0 if self.enc_mode else sum(self.dec_depths))
@@ -460,12 +510,16 @@ class PointTransformerV3(nn.Module):
                 )(x, cap, tuple(self.order), stage_key, train, cond_sample)
                 sus.append(su)
             b = x.batch
-            if s == 0 and self.stem_kernel == self.cpe_kernel_size:
-                kmap = kmap_stem
+            if s == 0 and kmap_cpe0 is not None:
+                kmap = kmap_cpe0
             else:
-                idx = index0 if s == 0 else build_voxel_index(x.grid_coord, b, x.valid, _DEPTH)
+                idx = build_voxel_index(
+                    x.grid_coord, b, x.valid, kd, single_lane=sl,
+                    precomputed_perm=reuse_perm(x),
+                )
                 kmap = build_kernel_map(
-                    idx, x.grid_coord, b, x.valid, SparseConvSpec.cube(self.cpe_kernel_size), _DEPTH
+                    idx, x.grid_coord, b, x.valid, SparseConvSpec.cube(self.cpe_kernel_size), kd,
+                    single_lane=sl,
                 )
             kmaps.append(kmap)
             depth = self.enc_depths[s]

@@ -58,15 +58,47 @@ class SortedVoxelIndex(NamedTuple):
     perm: jnp.ndarray  # int32[N], sorted position -> voxel row
 
 
-def build_voxel_index(grid_coord: jnp.ndarray, batch: jnp.ndarray, valid: jnp.ndarray, depth: int = 16) -> SortedVoxelIndex:
-    """Build the sorted Morton-code index of active voxels."""
+def build_voxel_index(
+    grid_coord: jnp.ndarray,
+    batch: jnp.ndarray,
+    valid: jnp.ndarray,
+    depth: int = 16,
+    single_lane: bool = False,
+    precomputed_perm: Optional[jnp.ndarray] = None,
+) -> SortedVoxelIndex:
+    """Build the sorted Morton-code index of active voxels.
+
+    ``precomputed_perm``: an argsort by batch-major z-order (e.g. the model's
+    own serialization order 0) — skips the sort.  Because the serialization
+    fill keeps batch bits on invalid rows, the reused permutation interleaves
+    invalid runs at batch boundaries instead of globally last; that is valid
+    for the ``sortmerge`` kernel-map method (which re-sorts and only needs
+    invalid EXCLUSION) but NOT for ``bsearch``.
+    """
     from .codes import code_or_batch
 
     code = z_order_encode(grid_coord, depth)
     code = code_or_batch(code, batch, depth)
     code = code_fill_invalid(code, valid)
-    perm = code_lexsort(code)
+    if precomputed_perm is not None:
+        perm = precomputed_perm.astype(jnp.int32)
+    elif single_lane:
+        iota = jnp.arange(code.lo.shape[0], dtype=jnp.int32)
+        _, perm = jax.lax.sort((code.lo, iota), num_keys=1, is_stable=True)
+    else:
+        perm = code_lexsort(code)
     return SortedVoxelIndex(sorted_code=code_take(code, perm), perm=perm)
+
+
+def kmap_single_lane(depth: int, num_samples: int) -> bool:
+    """True when (batch, z-code) fits one uint32 lane with the sentinel free.
+
+    Kernel-map codes only need injectivity (not serialization parity), so a
+    caller whose grids are bounded by 2^depth per axis can pick a small depth
+    and halve the sort-merge join's key width.  3*depth + batch bits <= 31
+    keeps 0xFFFFFFFF exclusively for the invalid sentinel.
+    """
+    return 3 * depth + max(int(num_samples - 1).bit_length(), 0) <= 31
 
 
 def build_kernel_map(
@@ -77,6 +109,7 @@ def build_kernel_map(
     spec: SparseConvSpec,
     depth: int = 16,
     method: Optional[str] = None,
+    single_lane: bool = False,
 ) -> KernelMap:
     """For each voxel and each offset, find the neighbor's row index (or N).
 
@@ -121,7 +154,10 @@ def build_kernel_map(
             if o > tuple(-x for x in o)  # strictly positive direction; identity excluded
         ]
         sub_spec = SparseConvSpec(offsets=tuple(tuple(offs[ki]) for ki in search_cols))
-        half = build_kernel_map(index, grid_coord, batch, valid, sub_spec, depth, method=method + "_nohalve")
+        half = build_kernel_map(
+            index, grid_coord, batch, valid, sub_spec, depth,
+            method=method + "_nohalve", single_lane=single_lane,
+        )
         neighbor = jnp.full((n, k), n, jnp.int32)
         for slot, ki in enumerate(search_cols):
             col = half.neighbor_idx[:, slot]
@@ -179,13 +215,155 @@ def build_kernel_map(
 
     def lookup(carry, qs):
         chi, clo = qs
-        rows = _sortmerge_lookup(index, chi, clo, n)
+        rows = _sortmerge_lookup(index, chi, clo, n, single_lane)
         return carry, rows
 
     _, rows_c = jax.lax.scan(lookup, None, (qhi_c, qlo_c))
     neighbor = rows_c.reshape(nchunks, n, chunk).transpose(1, 0, 2).reshape(n, pad_k)[:, :k]
     neighbor = jnp.where(in_range, neighbor, n).astype(jnp.int32)
     return KernelMap(neighbor_idx=neighbor)
+
+
+class ParentCellIndex(NamedTuple):
+    """Two-level lookup: 2^shift-coarse cells + per-cell subvoxel table.
+
+    Built once per resolution; any kernel map with radius <= 2^shift is then
+    derived by static LUT gathers (`derive_kernel_map`) instead of its own
+    sort-merge join.  The payoff: a k=5 stem map (62 searched offsets ~ 5x a
+    k=3 join) becomes ONE k=3 join over coarse cells plus O(K*N) gathers, and
+    the stage's k=3 xCPE map falls out of the same structure for free.
+    Replaces spconv's per-kernel-size hash-table indice builds
+    (`point_transformer_v3m1_base.py:485-515` stem k=5 + `:277-287` xCPE k=3).
+    """
+
+    shift: int  # cell = voxel >> shift
+    cell_kmap: jnp.ndarray  # int32[N, 27] cell -> neighbor cell id (N = miss)
+    cell_table: jnp.ndarray  # int32[N + 1, 8**shift] (cell, subpos) -> voxel row
+    cell_of: jnp.ndarray  # int32[N] voxel row -> own cell id (invalid -> N)
+    parity: jnp.ndarray  # int32[N] voxel row -> subposition within its cell
+
+
+def build_parent_index(
+    grid_coord: jnp.ndarray,
+    batch: jnp.ndarray,
+    valid: jnp.ndarray,
+    shift: int = 1,
+    depth: int = 16,
+    method: Optional[str] = None,
+    single_lane: bool = False,
+    precomputed_perm: Optional[jnp.ndarray] = None,
+) -> ParentCellIndex:
+    """Build the coarse-cell structure over active voxels.
+
+    ``precomputed_perm``: a batch-major fine-z argsort (the serialization's
+    order 0) — valid here because coarse z-codes are a bit-prefix of fine
+    z-codes (Morton property: z(c >> s) = z(c) >> 3s), so fine order IS
+    coarse order with stable ties; equal-code cell runs stay contiguous even
+    with the serialization's per-batch invalid placement.
+    """
+    from .codes import code_or_batch
+
+    n = grid_coord.shape[0]
+    side = 1 << shift
+    nsub = side**3
+    ccoord = grid_coord >> shift
+    sub = grid_coord & (side - 1)
+    parity = (sub[:, 0] * side + sub[:, 1]) * side + sub[:, 2]  # [N] in [0, nsub)
+
+    ccode = code_or_batch(z_order_encode(ccoord, depth), batch, depth)
+    ccode = code_fill_invalid(ccode, valid)
+    if precomputed_perm is not None:
+        perm = precomputed_perm.astype(jnp.int32)
+    elif single_lane:
+        iota_s = jnp.arange(n, dtype=jnp.int32)
+        _, perm = jax.lax.sort((ccode.lo, iota_s), num_keys=1, is_stable=True)
+    else:
+        perm = code_lexsort(ccode)
+    sc = code_take(ccode, perm)
+    invalid_sorted = (sc.hi == jnp.uint32(0xFFFFFFFF)) & (sc.lo == jnp.uint32(0xFFFFFFFF))
+    prev_hi = jnp.concatenate([jnp.uint32([0xFFFFFFFF]), sc.hi[:-1]])
+    prev_lo = jnp.concatenate([jnp.uint32([0xFFFFFFFF]), sc.lo[:-1]])
+    is_head = ((sc.hi != prev_hi) | (sc.lo != prev_lo)) & ~invalid_sorted
+    is_head = is_head.at[0].set(~invalid_sorted[0])
+    cell_id_sorted = jnp.cumsum(is_head.astype(jnp.int32)) - 1  # [N], -1 for leading invalids
+
+    # cell-indexed arrays (cells were discovered in ascending code order, so
+    # cell id order IS sorted-code order: the coarse SortedVoxelIndex is free)
+    head_target = jnp.where(is_head, cell_id_sorted, n)
+    cell_hi = jnp.full((n,), 0xFFFFFFFF, jnp.uint32).at[head_target].set(sc.hi, mode="drop")
+    cell_lo = jnp.full((n,), 0xFFFFFFFF, jnp.uint32).at[head_target].set(sc.lo, mode="drop")
+    head_row = jnp.full((n,), 0, jnp.int32).at[head_target].set(perm.astype(jnp.int32), mode="drop")
+    cell_grid = jnp.take(ccoord, head_row, axis=0)
+    cell_batch = jnp.take(batch, head_row, axis=0)
+    num_cells = jnp.sum(is_head.astype(jnp.int32))
+    cell_valid = jnp.arange(n, dtype=jnp.int32) < num_cells
+
+    cell_of = (
+        jnp.full((n,), n, jnp.int32)
+        .at[perm]
+        .set(jnp.where(cell_id_sorted >= 0, cell_id_sorted, n), mode="drop")
+    )
+    rows = jnp.arange(n, dtype=jnp.int32)
+    flat_slot = jnp.where(valid, cell_of * nsub + parity, (n + 1) * nsub)
+    cell_table = (
+        jnp.full(((n + 1) * nsub,), n, jnp.int32)
+        .at[flat_slot]
+        .set(rows, mode="drop")
+        .reshape(n + 1, nsub)
+    )
+
+    cindex = SortedVoxelIndex(sorted_code=Code64(hi=cell_hi, lo=cell_lo), perm=rows)
+    ckmap = build_kernel_map(
+        cindex, cell_grid, cell_batch, cell_valid, SparseConvSpec.cube(3), depth,
+        method=method, single_lane=single_lane,
+    )
+    return ParentCellIndex(
+        shift=shift,
+        cell_kmap=ckmap.neighbor_idx,
+        cell_table=cell_table,
+        cell_of=cell_of,
+        parity=parity,
+    )
+
+
+def derive_kernel_map(
+    parent: ParentCellIndex, valid: jnp.ndarray, spec: SparseConvSpec
+) -> KernelMap:
+    """Derive a fine-resolution kernel map from the coarse structure.
+
+    For voxel q with cell parity p and offset d:  q + d = (cell(q) + cj)
+    * 2^shift + s  where (cj, s) are STATIC functions of (p, d) — so the map
+    is two gathers through precomputed [nsub, K] LUTs.  Exact for any offset
+    with max |d| <= 2^shift.
+    """
+    n = parent.cell_of.shape[0]
+    shift = parent.shift
+    side = 1 << shift
+    nsub = side**3
+    offs = np.asarray(spec.offsets, np.int32)  # [K, 3]
+    k = offs.shape[0]
+    assert np.abs(offs).max() <= side, (offs.min(), offs.max(), side)
+
+    # LUTs over (parity p, offset slot): which coarse neighbor column, which subpos
+    ps = np.stack(np.meshgrid(np.arange(side), np.arange(side), np.arange(side), indexing="ij"), -1).reshape(nsub, 3)
+    q = ps[:, None, :] + offs[None, :, :]  # [nsub, K, 3]
+    cj = q >> shift  # floor division, in [-1, 1]
+    s = q & (side - 1)
+    assert cj.min() >= -1 and cj.max() <= 1
+    cell_col = ((cj[..., 0] + 1) * 3 + (cj[..., 1] + 1)) * 3 + (cj[..., 2] + 1)  # [nsub, K]
+    sub_idx = (s[..., 0] * side + s[..., 1]) * side + s[..., 2]  # [nsub, K]
+    cell_col_lut = jnp.asarray(cell_col, jnp.int32)
+    sub_lut = jnp.asarray(sub_idx, jnp.int32)
+
+    own_cells = jnp.take(parent.cell_kmap, jnp.minimum(parent.cell_of, n - 1), axis=0)  # [N, 27]
+    cols = jnp.take(cell_col_lut, parent.parity, axis=0)  # [N, K]
+    subs = jnp.take(sub_lut, parent.parity, axis=0)  # [N, K]
+    ncell = jnp.take_along_axis(own_cells, cols, axis=1)  # [N, K] in [0, N]
+    neighbor = jnp.take(
+        parent.cell_table.reshape(-1), jnp.minimum(ncell, n) * nsub + subs, axis=0
+    )
+    neighbor = jnp.where(valid[:, None] & (parent.cell_of[:, None] < n), neighbor, n)
+    return KernelMap(neighbor_idx=neighbor.astype(jnp.int32))
 
 
 def _hash_mix(hi: jnp.ndarray, lo: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -309,20 +487,44 @@ def _hash_kernel_map(
     return KernelMap(neighbor_idx=result.reshape(n, k))
 
 
-def _sortmerge_lookup(index: SortedVoxelIndex, qhi: jnp.ndarray, qlo: jnp.ndarray, n: int) -> jnp.ndarray:
+def _sortmerge_lookup(
+    index: SortedVoxelIndex, qhi: jnp.ndarray, qlo: jnp.ndarray, n: int, single_lane: bool = False
+) -> jnp.ndarray:
     """Find equal-key target rows for a flat query code array (n targets).
 
-    Targets are concatenated BEFORE queries and ``jnp.lexsort`` is stable, so
+    Targets are concatenated BEFORE queries and the sort is stable, so
     equal-key targets always precede their queries — no tie-break sort key
     needed (one fewer sort operand).  Target payloads are ``perm`` (< n);
-    query payloads are ``n + qid``."""
+    query payloads are ``n + qid``.  ``single_lane=True`` (codes proven to
+    fit one u32, `kmap_single_lane`) drops the hi lane from the sort and the
+    scan — ~1/3 fewer sorted/scanned elements."""
     nq = qhi.shape[0]
-    hi = jnp.concatenate([index.sorted_code.hi, qhi])
     lo = jnp.concatenate([index.sorted_code.lo, qlo])
     payload = jnp.concatenate(
         [index.perm.astype(jnp.int32), n + jnp.arange(nq, dtype=jnp.int32)]
     )
 
+    if single_lane:
+        s_lo, s_payload = jax.lax.sort((lo, payload), num_keys=1, is_stable=True)
+        is_target = s_payload < n
+        exclude_invalid = is_target & (s_lo != jnp.uint32(0xFFFFFFFF))
+
+        def combine1(a, b):
+            fa, ra, la = a
+            fb, rb, lb = b
+            return (fa | fb, jnp.where(fb, rb, ra), jnp.where(fb, lb, la))
+
+        _, run_row, run_lo = jax.lax.associative_scan(
+            combine1,
+            (exclude_invalid, jnp.where(exclude_invalid, s_payload, -1), s_lo),
+        )
+        hit = (run_lo == s_lo) & (~is_target) & (run_row >= 0)
+        result_sorted = jnp.where(hit, run_row, n).astype(jnp.int32)
+        rows = jnp.full((nq,), n, jnp.int32)
+        qid = jnp.where(is_target, nq, s_payload - n)
+        return rows.at[qid].set(result_sorted, mode="drop")
+
+    hi = jnp.concatenate([index.sorted_code.hi, qhi])
     order = jnp.lexsort((lo, hi))
     s_hi = jnp.take(hi, order)
     s_lo = jnp.take(lo, order)

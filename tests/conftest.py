@@ -6,16 +6,29 @@ import os
 # jax.config alone is NOT enough once a real TPU grant is live (tests then
 # silently run on the chip: wrong numerics, 1 device, and contention with any
 # concurrent bench) — force the env var too, before jax initializes a backend.
+import re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if "xla_force_host_platform_device_count" in flags:
+    # normalize a pre-set count to the 8 virtual devices the suite assumes
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+",
+                   "--xla_force_host_platform_device_count=8", flags)
+    os.environ["XLA_FLAGS"] = flags
+else:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu", jax.default_backend()
-assert len(jax.devices()) == 8, jax.devices()
+if jax.default_backend() != "cpu" or len(jax.devices()) != 8:
+    raise RuntimeError(
+        "test suite requires the CPU backend with 8 virtual devices "
+        f"(got backend={jax.default_backend()!r}, devices={jax.devices()}); "
+        "jax was initialized before conftest could set "
+        "XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu "
+        "— run tests via pytest from a fresh interpreter"
+    )
 
 import numpy as np
 import pytest

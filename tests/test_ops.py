@@ -230,6 +230,84 @@ def test_kernel_map_hash_parity_large(rng):
         np.testing.assert_array_equal(np.asarray(h.neighbor_idx), np.asarray(oracle.neighbor_idx))
 
 
+def test_parent_derived_kernel_map_matches_direct(rng):
+    """The two-level (coarse cell + subvoxel table) kernel map must equal the
+    direct sort-merge build for every kernel size within its radius."""
+    from pointcept_keypointdetection_tpu.ops.sparse import (
+        build_parent_index,
+        derive_kernel_map,
+    )
+
+    n = 4096
+    coords = rng.integers(0, 31, (n, 3)).astype(np.int32)  # odd range: parity coverage
+    batch = np.sort(rng.integers(0, 3, n)).astype(np.int32)
+    valid = rng.random(n) > 0.2
+    _, first = np.unique(
+        batch.astype(np.int64) * 10**9 + coords[:, 0] * 10**6 + coords[:, 1] * 10**3 + coords[:, 2],
+        return_index=True,
+    )
+    keep = np.zeros(n, bool)
+    keep[first] = True
+    valid &= keep
+    g, b, v = jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid)
+    index = build_voxel_index(g, b, v)
+    parent = build_parent_index(g, b, v, shift=1)
+    for ksz in (3, 5):
+        spec = SparseConvSpec.cube(ksz)
+        oracle = build_kernel_map(index, g, b, v, spec, method="bsearch")
+        derived = derive_kernel_map(parent, v, spec)
+        np.testing.assert_array_equal(
+            np.asarray(derived.neighbor_idx), np.asarray(oracle.neighbor_idx)
+        )
+    # shift=2 covers k=7 (PTv3Plus large-kernel xCPE territory)
+    parent2 = build_parent_index(g, b, v, shift=2)
+    for ksz in (3, 5, 7):
+        spec = SparseConvSpec.cube(ksz)
+        oracle = build_kernel_map(index, g, b, v, spec, method="bsearch")
+        derived = derive_kernel_map(parent2, v, spec)
+        np.testing.assert_array_equal(
+            np.asarray(derived.neighbor_idx), np.asarray(oracle.neighbor_idx)
+        )
+
+
+def test_kernel_map_single_lane_matches(rng):
+    """Compact (one-u32-key) joins must equal the two-lane build when the
+    code bits fit: depth 9 grids, multi-batch, k=3 and k=5, parent-derived."""
+    from pointcept_keypointdetection_tpu.ops.sparse import (
+        build_parent_index,
+        derive_kernel_map,
+        kmap_single_lane,
+    )
+
+    n = 4096
+    coords = rng.integers(0, 500, (n, 3)).astype(np.int32)  # < 2^9
+    batch = np.sort(rng.integers(0, 3, n)).astype(np.int32)
+    valid = rng.random(n) > 0.2
+    _, first = np.unique(
+        batch.astype(np.int64) * 10**9 + coords[:, 0] * 10**6 + coords[:, 1] * 10**3 + coords[:, 2],
+        return_index=True,
+    )
+    keep = np.zeros(n, bool)
+    keep[first] = True
+    valid &= keep
+    g, b, v = jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid)
+    assert kmap_single_lane(9, 3) and not kmap_single_lane(16, 3)
+    for ksz in (3, 5):
+        spec = SparseConvSpec.cube(ksz)
+        ref_idx = build_voxel_index(g, b, v, depth=16)
+        oracle = build_kernel_map(ref_idx, g, b, v, spec, 16, method="bsearch")
+        idx_sl = build_voxel_index(g, b, v, depth=9, single_lane=True)
+        compact = build_kernel_map(idx_sl, g, b, v, spec, 9, method="sortmerge", single_lane=True)
+        np.testing.assert_array_equal(
+            np.asarray(compact.neighbor_idx), np.asarray(oracle.neighbor_idx)
+        )
+        parent = build_parent_index(g, b, v, shift=1, depth=9, single_lane=True)
+        derived = derive_kernel_map(parent, v, spec)
+        np.testing.assert_array_equal(
+            np.asarray(derived.neighbor_idx), np.asarray(oracle.neighbor_idx)
+        )
+
+
 def test_sparse_conv_symmetric_vjp_matches_autodiff(rng):
     """The scatter-free mirrored-map backward must match XLA autodiff of the
     plain gather conv exactly (same map, centered-cube ordering)."""

@@ -22,7 +22,7 @@ Usage:
       --out exp/class_embeddings.npy
   # or take the vocabulary from a config's model.class_name:
   python tools/export_clip_class_embeddings.py \
-      --checkpoint ... --config configs/scannet/semseg-ppt-v1m1-language.py \
+      --checkpoint ... --config configs/scannet/semseg-ppt-v1m1-0-sc-st-spunet.py \
       --out exp/class_embeddings.npy
 """
 
@@ -45,7 +45,16 @@ def encode_class_names(checkpoint, class_names, template="[x]", normalize=False)
     model.eval()
     prompts = [template.replace("[x]", str(n)) for n in class_names]
     with torch.no_grad():
-        tokens = tokenizer(prompts, padding=True, return_tensors="pt")
+        # truncation: CLIP's text tower has a fixed 77-token context; an
+        # over-long prompt would otherwise crash in the position embeddings
+        # (reference clip.tokenize enforces the same cap)
+        tokens = tokenizer(
+            prompts,
+            padding=True,
+            truncation=True,
+            max_length=getattr(tokenizer, "model_max_length", 77),
+            return_tensors="pt",
+        )
         embeds = model(**tokens).text_embeds.float()
         if normalize:
             embeds = embeds / embeds.norm(dim=-1, keepdim=True)

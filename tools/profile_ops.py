@@ -127,6 +127,199 @@ def main():
             except Exception as e:
                 print(f"kmap k3 {method}: FAILED {type(e).__name__}: {e}", flush=True)
 
+    if "kmap5" in which:
+        # the reference's true stem is k=5 (125 offsets) — the honest-bench cost
+        index = build_voxel_index(grid, batch, valid)
+        spec5 = SparseConvSpec.cube(5)
+        for method in ("sortmerge", "hash"):
+            try:
+                @jax.jit
+                def km5(grid, batch, valid, salt):
+                    g = grid + salt.astype(jnp.int32) * 0
+                    m = build_kernel_map(index, g, batch, valid, spec5, method=method)
+                    return jnp.sum(m.neighbor_idx.astype(jnp.float32))
+
+                per, comp = timed(km5, (grid, batch, valid))
+                print(f"kmap k5 {method}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+            except Exception as e:
+                print(f"kmap k5 {method}: FAILED {type(e).__name__}: {e}", flush=True)
+
+    if "kmap5p" in which:
+        # parent-derived two-level map: coarse k=3 join + subvoxel-table
+        # gathers; yields BOTH k=5 and k=3 maps
+        from pointcept_keypointdetection_tpu.ops.sparse import (
+            build_parent_index,
+            derive_kernel_map,
+        )
+
+        spec5 = SparseConvSpec.cube(5)
+        spec3 = SparseConvSpec.cube(3)
+
+        @jax.jit
+        def km5p(grid, batch, valid, salt):
+            g = grid + salt.astype(jnp.int32) * 0
+            parent = build_parent_index(g, batch, valid, 1)
+            m5 = derive_kernel_map(parent, valid, spec5)
+            m3 = derive_kernel_map(parent, valid, spec3)
+            return jnp.sum(m5.neighbor_idx.astype(jnp.float32)) + jnp.sum(
+                m3.neighbor_idx.astype(jnp.float32)
+            )
+
+        per, comp = timed(km5p, (grid, batch, valid))
+        print(f"kmap k5+k3 parent-derived: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+    if "kmap5d" in which:
+        # decomposition: parent build alone / derive alone / scatter+gather raw
+        from pointcept_keypointdetection_tpu.ops.sparse import (
+            build_parent_index,
+            derive_kernel_map,
+        )
+
+        spec5 = SparseConvSpec.cube(5)
+        spec3 = SparseConvSpec.cube(3)
+
+        @jax.jit
+        def pbuild(grid, batch, valid, salt):
+            g = grid + salt.astype(jnp.int32) * 0
+            parent = build_parent_index(g, batch, valid, 1)
+            return (
+                jnp.sum(parent.cell_kmap.astype(jnp.float32))
+                + jnp.sum(parent.cell_of.astype(jnp.float32))
+                + jnp.sum(parent.cell_table[:, 0].astype(jnp.float32))
+            )
+
+        per, comp = timed(pbuild, (grid, batch, valid))
+        print(f"parent build only: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+        parent_c = jax.jit(lambda g, b, v: build_parent_index(g, b, v, 1))(grid, batch, valid)
+
+        @jax.jit
+        def dv5(parent, valid, salt):
+            m5 = derive_kernel_map(parent, valid, spec5)
+            return jnp.sum(m5.neighbor_idx.astype(jnp.float32)) + salt
+        @jax.jit
+        def dv3(parent, valid, salt):
+            m3 = derive_kernel_map(parent, valid, spec3)
+            return jnp.sum(m3.neighbor_idx.astype(jnp.float32)) + salt
+
+        per, comp = timed(dv5, (parent_c, valid))
+        print(f"derive k5 only: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+        per, comp = timed(dv3, (parent_c, valid))
+        print(f"derive k3 only: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+        # raw scatter / wide-gather calibration at the shapes derive uses
+        rows_i = jnp.asarray(rng.permutation(N).astype(np.int32))
+        vals_i = jnp.asarray(rng.integers(0, N, N).astype(np.int32))
+
+        @jax.jit
+        def scat(rows, vals, salt):
+            out = jnp.full((N + 1,), N, jnp.int32).at[rows].set(vals + salt.astype(jnp.int32) * 0, mode="drop")
+            return jnp.sum(out.astype(jnp.float32))
+
+        per, comp = timed(scat, (rows_i, vals_i))
+        print(f"raw scatter [102k]: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+        idx_wide = jnp.asarray(rng.integers(0, N, (N, 125)).astype(np.int32))
+        src = jnp.asarray(rng.integers(0, N, N + 1).astype(np.int32))
+
+        @jax.jit
+        def gath_wide(src, idx, salt):
+            return jnp.sum(jnp.take(src, idx, axis=0).astype(jnp.float32)) + salt
+
+        per, comp = timed(gath_wide, (src, idx_wide))
+        print(f"raw gather [102k,125] random: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+    if "kmap5nh" in which:
+        # direct k5 without symmetric halving: 2x sort rows, zero scatters
+        index = build_voxel_index(grid, batch, valid)
+        spec5 = SparseConvSpec.cube(5)
+
+        @jax.jit
+        def km5nh(grid, batch, valid, salt):
+            g = grid + salt.astype(jnp.int32) * 0
+            m = build_kernel_map(index, g, batch, valid, spec5, method="sortmerge_nohalve")
+            return jnp.sum(m.neighbor_idx.astype(jnp.float32))
+
+        per, comp = timed(km5nh, (grid, batch, valid))
+        print(f"kmap k5 sortmerge_nohalve: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+    if "kmap3sl" in which:
+        # compact single-lane join (depth 10 fits bench grids)
+        index_sl = build_voxel_index(grid, batch, valid, depth=10, single_lane=True)
+        spec = SparseConvSpec.cube(3)
+
+        @jax.jit
+        def km3sl(grid, batch, valid, salt):
+            g = grid + salt.astype(jnp.int32) * 0
+            m = build_kernel_map(index_sl, g, batch, valid, spec, 10, method="sortmerge", single_lane=True)
+            return jnp.sum(m.neighbor_idx.astype(jnp.float32))
+
+        per, comp = timed(km3sl, (grid, batch, valid))
+        print(f"kmap k3 sortmerge single-lane d10: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+    if "attn1024" in which:
+        # the reference ScanNet config's true patch size is 1024 — compare
+        # dense-chunked XLA vs the Pallas VMEM kernel at the bench stage shapes
+        from pointcept_keypointdetection_tpu.ops.attention import patch_attention_xla
+        from pointcept_keypointdetection_tpu.ops.pallas.patch_attention import (
+            patch_attention_pallas,
+        )
+
+        for n_s, c, h in ((102_400, 32, 2), (25_600, 64, 4), (6_400, 128, 8), (2_048, 256, 16), (1_024, 512, 32)):
+            d = c // h
+            qkv = jnp.asarray(rng.normal(size=(n_s, 3, h, d)), jnp.bfloat16)
+            vm = jnp.asarray(np.ones((n_s,), bool))
+
+            @jax.jit
+            def att_x(qkv, vm, salt):
+                q = qkv + salt.astype(qkv.dtype)
+                out = patch_attention_xla(q, vm, 1024, d**-0.5, 256)
+                return jnp.sum(out.astype(jnp.float32))
+
+            @jax.jit
+            def att_p(qkv, vm, salt):
+                q = qkv + salt.astype(qkv.dtype)
+                out = patch_attention_pallas(q, vm, 1024, d**-0.5)
+                return jnp.sum(out.astype(jnp.float32))
+
+            for name, f in (("xla", att_x), ("pallas", att_p)):
+                try:
+                    per, comp = timed(f, (qkv, vm))
+                    print(f"attn1024 n={n_s} h={h} d={d} {name}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+                except Exception as e:
+                    print(f"attn1024 n={n_s} h={h} d={d} {name}: FAILED {type(e).__name__}: {e}", flush=True)
+
+    if "attn128p" in which:
+        # pallas vs xla at the current bench patch size (128)
+        from pointcept_keypointdetection_tpu.ops.attention import patch_attention_xla
+        from pointcept_keypointdetection_tpu.ops.pallas.patch_attention import (
+            patch_attention_pallas,
+        )
+
+        for n_s, c, h in ((102_400, 32, 2), (25_600, 64, 4), (6_400, 128, 8)):
+            d = c // h
+            qkv = jnp.asarray(rng.normal(size=(n_s, 3, h, d)), jnp.bfloat16)
+            vm = jnp.asarray(np.ones((n_s,), bool))
+
+            @jax.jit
+            def att_x(qkv, vm, salt):
+                q = qkv + salt.astype(qkv.dtype)
+                out = patch_attention_xla(q, vm, 128, d**-0.5, 0)
+                return jnp.sum(out.astype(jnp.float32))
+
+            @jax.jit
+            def att_p(qkv, vm, salt):
+                q = qkv + salt.astype(qkv.dtype)
+                out = patch_attention_pallas(q, vm, 128, d**-0.5)
+                return jnp.sum(out.astype(jnp.float32))
+
+            for name, f in (("xla", att_x), ("pallas", att_p)):
+                try:
+                    per, comp = timed(f, (qkv, vm))
+                    print(f"attn128 n={n_s} h={h} d={d} {name}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+                except Exception as e:
+                    print(f"attn128 n={n_s} h={h} d={d} {name}: FAILED {type(e).__name__}: {e}", flush=True)
+
     if "attn" in which:
         from pointcept_keypointdetection_tpu.ops.attention import patch_attention_xla
 

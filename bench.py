@@ -50,12 +50,17 @@ _RETRYABLE = (
 
 
 def _emit(scenes_per_sec, unit_suffix=""):
+    patch = os.environ.get("PKT_BENCH_PATCH", "1024")
+    stem = os.environ.get("PKT_BENCH_STEM", "5")
+    attn = os.environ.get("PKT_BENCH_ATTN", "pallas")
+    workload = f"patch {patch}, k={stem} stem, {attn} attn"
     print(
         json.dumps(
             {
                 "metric": "ptv3_semseg_forward_scenes_per_sec",
                 "value": round(scenes_per_sec, 3),
-                "unit": "scenes/s (102k pts/scene, 1 chip)" + unit_suffix,
+                "unit": f"scenes/s (102k pts/scene, reference workload: {workload}, 1 chip)"
+                + unit_suffix,
                 "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 3),
             }
         ),
@@ -100,6 +105,17 @@ def _run_bench():
     feat = rng.normal(size=(B, S, 6)).astype(np.float32)
     feat[~valid] = 0
 
+    # Honest reference workload (VERDICT r2 item 2): enc/dec patch size 1024
+    # and the k=5 spconv stem exactly as the reference ScanNet config
+    # (`/root/reference/configs/scannet/semseg-pt-v3m1-0-base.py:23-27`,
+    # stem `point_transformer_v3m1_base.py:485-515`).  Env overrides let the
+    # round-2 softened workload (patch 128, k=3 stem) be reproduced.
+    patch = int(os.environ.get("PKT_BENCH_PATCH", "1024"))
+    stem_k = int(os.environ.get("PKT_BENCH_STEM", "5"))
+    # kernel-map join keys need only injectivity; this workload's grids are
+    # bounded by 8 m / 0.02 m = 400 < 2^10 per axis (asserted below), so the
+    # joins sort single-u32 keys (ops/sparse.kmap_single_lane)
+    assert int(grid.max()) < 1024, int(grid.max())
     backbone = dict(
         type="PT-v3m1",
         in_channels=6,
@@ -107,20 +123,19 @@ def _run_bench():
         enc_depths=(2, 2, 2, 6, 2),
         enc_channels=(32, 64, 128, 256, 512),
         enc_num_head=(2, 4, 8, 16, 32),
-        enc_patch_size=(128, 128, 128, 128, 128),
+        enc_patch_size=(patch,) * 5,
         dec_depths=(2, 2, 2, 2),
         dec_channels=(64, 64, 128, 256),
         dec_num_head=(4, 4, 8, 16),
-        dec_patch_size=(128, 128, 128, 128),
+        dec_patch_size=(patch,) * 4,
         drop_path=0.0,
         slot_divisors=(1, 4, 16, 64, 128),
-        # k=3 stem: the 125-offset k=5 kernel-map build alone costs 4.2 s of
-        # the 5.2 s forward on this backend (PERF.md); 5^3 receptive field is
-        # recovered by the first block's xCPE
-        stem_kernel=3,
-        # xla attention path: the Pallas custom-call payload is not byte-stable
-        # across processes, which defeats the persistent compile cache
-        attn_impl=os.environ.get("PKT_BENCH_ATTN", "xla"),
+        stem_kernel=stem_k,
+        kmap_depth=10,
+        # Pallas fused patch attention ON the measured path (VERDICT r2
+        # item 1); the round-1 "payload not byte-stable" cache concern was
+        # disproven in round 2 (PERF.md)
+        attn_impl=os.environ.get("PKT_BENCH_ATTN", "pallas"),
     )
     model = MODELS.build(dict(type="DefaultSegmentor", backbone=backbone, criteria=()))
     point = PointBatch(

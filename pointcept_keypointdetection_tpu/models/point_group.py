@@ -99,7 +99,9 @@ def cluster_proposals(
     from ..ops.cluster import connected_components
 
     ignore = tuple(int(i) for i in segment_ignore_index)
-    labels = np.asarray(
+    # copy: np.asarray of a jax array is a read-only view, and the
+    # small-cluster cull below writes in place
+    labels = np.array(
         connected_components(
             coord + bias_pred, seg_pred, valid, cluster_thresh, batch=batch, ignore_classes=ignore
         )

@@ -233,6 +233,7 @@ class GridDownsample(nn.Module):
 
 class KnnUpsample(nn.Module):
     out_channels: int
+    knn_cell_size: float = 0.0  # >0: grid-bucketed 3-NN (scales past 100k pts)
 
     @nn.compact
     def __call__(self, pooled: PointBatch, skip: PointBatch, train: bool):
@@ -241,6 +242,7 @@ class KnnUpsample(nn.Module):
         interp = three_nn_interpolate(
             skip.coord, pooled.coord, f,
             query_batch=skip.batch, base_batch=pooled.batch, base_valid=pooled.valid,
+            cell_size=self.knn_cell_size,
         )
         sk = nn.Dense(c, name="proj_skip")(skip.feat)
         return skip.replace(feat=LayerNorm(c, name="norm")(interp + sk))
@@ -251,6 +253,10 @@ class Swin3DUNet(nn.Module):
     in_channels: int = 6
     depths: Sequence[int] = (2, 2, 6, 2)
     channels: Sequence[int] = (48, 96, 192, 384)
+    # per-decoder-level bucketed-3NN cell sizes for KnnUpsample (empty ->
+    # brute force); level s interpolates from the level-s+1 grid, so pass
+    # ~2x that level's world-space pitch (VERDICT r2 item 7)
+    upsample_cell_sizes: Sequence[float] = ()
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window_sizes: Sequence[int] = (4, 4, 4, 4)  # voxels per window edge (pow2)
     patch_size: int = 128
@@ -313,7 +319,12 @@ class Swin3DUNet(nn.Module):
                 blk += 1
 
         for s in reversed(range(num_stages - 1)):
-            x = KnnUpsample(self.channels[s], name=f"up{s}")(x, skips[s], train)
+            cell = (
+                self.upsample_cell_sizes[s]
+                if len(self.upsample_cell_sizes) > s
+                else 0.0
+            )
+            x = KnnUpsample(self.channels[s], knn_cell_size=cell, name=f"up{s}")(x, skips[s], train)
             x = SwinBlock(
                 self.channels[s], self.num_heads[s], self.patch_size,
                 self.window_sizes[s], shifted=False, mlp_ratio=self.mlp_ratio,

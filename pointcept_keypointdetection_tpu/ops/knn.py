@@ -259,10 +259,25 @@ def ball_query(
     query_batch: Optional[jnp.ndarray] = None,
     base_batch: Optional[jnp.ndarray] = None,
     base_valid: Optional[jnp.ndarray] = None,
+    bucketed: bool = False,
+    cell_cap: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """k neighbors within ``radius`` (missing -> nearest-neighbor fill, matching
-    pointops ball_query's repeat-first-hit semantics). Returns (idx, mask)."""
-    idx, sqdist = knn(query, base, k, query_batch, base_batch, base_valid)
+    pointops ball_query's repeat-first-hit semantics). Returns (idx, mask).
+
+    ``bucketed=True`` buckets at cell size ``radius`` — the 27-cell ring then
+    covers the whole ball, so every within-radius hit is found (exact unless a
+    cell overflows ``cell_cap``; overflow drops the farthest candidates, which
+    matches ball query's arbitrary-k-subset contract).  O(Q*27*cap) instead of
+    O(Q*N).  Only the out-of-radius FILL index differs from the brute path
+    (nearest found candidate vs global nearest) — callers gate on the mask.
+    """
+    if bucketed:
+        idx, sqdist = knn_bucketed(
+            query, base, k, radius, query_batch, base_batch, base_valid, cell_cap=cell_cap
+        )
+    else:
+        idx, sqdist = knn(query, base, k, query_batch, base_batch, base_valid)
     within = sqdist <= radius * radius
     fill = idx[:, :1]
     idx = jnp.where(within, idx, fill)
@@ -276,9 +291,23 @@ def three_nn_interpolate(
     query_batch: Optional[jnp.ndarray] = None,
     base_batch: Optional[jnp.ndarray] = None,
     base_valid: Optional[jnp.ndarray] = None,
+    cell_size: float = 0.0,
+    cell_cap: int = 64,
 ) -> jnp.ndarray:
-    """Inverse-distance weighted 3-NN interpolation (pointops `interpolation`)."""
-    idx, sqdist = knn(query, base, 3, query_batch, base_batch, base_valid)
+    """Inverse-distance weighted 3-NN interpolation (pointops `interpolation`).
+
+    ``cell_size > 0`` switches to the grid-bucketed search (exact while the
+    3rd-nearest source lies within L-inf ``cell_size``; unpooling callers pass
+    the coarse level's grid pitch, which bounds source spacing by
+    construction).  Missing slots carry ~zero inverse-distance weight — the
+    graceful-degradation contract of ``knn_bucketed``.
+    """
+    if cell_size > 0:
+        idx, sqdist = knn_bucketed(
+            query, base, 3, cell_size, query_batch, base_batch, base_valid, cell_cap=cell_cap
+        )
+    else:
+        idx, sqdist = knn(query, base, 3, query_batch, base_batch, base_valid)
     inv = 1.0 / jnp.maximum(sqdist, 1e-8)
     w = inv / jnp.sum(inv, axis=-1, keepdims=True)
     gathered = jnp.take(feat, idx, axis=0)  # [Q, 3, C]

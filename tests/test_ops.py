@@ -434,3 +434,37 @@ def test_knn_bucketed_reports_misses(rng):
     d = np.asarray(d)
     assert d[0, 0] < 1e-6
     assert d[0, 1] >= 1e9  # the 10-away point is not reachable in one ring
+
+
+def test_ball_query_bucketed_matches_brute(rng):
+    """Bucketed ball query must agree with the brute path on the within-radius
+    mask and the within-radius indices (fill indices may differ by contract)."""
+    n, q, k = 3000, 400, 12
+    base = rng.uniform(0, 2.0, (n, 3)).astype(np.float32)
+    query = rng.uniform(0.1, 1.9, (q, 3)).astype(np.float32)
+    r = 0.25
+    idx_a, m_a = ops.ball_query(jnp.asarray(query), jnp.asarray(base), r, k)
+    idx_b, m_b = ops.ball_query(
+        jnp.asarray(query), jnp.asarray(base), r, k, bucketed=True, cell_cap=256
+    )
+    m_a, m_b = np.asarray(m_a), np.asarray(m_b)
+    idx_a, idx_b = np.asarray(idx_a), np.asarray(idx_b)
+    np.testing.assert_array_equal(m_a.sum(1), m_b.sum(1))
+    for i in range(q):  # same within-radius candidate sets (order-free)
+        np.testing.assert_array_equal(
+            np.sort(idx_a[i][m_a[i]]), np.sort(idx_b[i][m_b[i]])
+        )
+
+
+def test_three_nn_interpolate_bucketed_matches_brute(rng):
+    n, q, c = 2500, 600, 8
+    base = rng.uniform(0, 2.0, (n, 3)).astype(np.float32)
+    query = rng.uniform(0.2, 1.8, (q, 3)).astype(np.float32)
+    feat = rng.normal(size=(n, c)).astype(np.float32)
+    out_a = ops.three_nn_interpolate(jnp.asarray(query), jnp.asarray(base), jnp.asarray(feat))
+    out_b = ops.three_nn_interpolate(
+        jnp.asarray(query), jnp.asarray(base), jnp.asarray(feat), cell_size=0.3, cell_cap=256
+    )
+    # tolerance: the two paths compute distances differently (MXU q^2-2qb+b^2
+    # vs direct (p-q)^2) so near-tied 3rd neighbors may swap
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-3, atol=1e-3)

@@ -140,6 +140,144 @@ def car_tracks(rng, n_cars, frames, length):
     return tracks
 
 
+# ---- loop-circuit mode (drift-scale back-end experiments) -----------------
+#
+# A stadium circuit (two straights + two half-circle arcs) that returns to
+# the start: the geometry the pose-graph back-end needs to show loop-closure
+# drift reduction (VERDICT r2 item 4).  The world is built ALONG the path
+# (buildings/poles/clutter offset laterally from the centerline) instead of
+# along +x.
+
+
+def trajectory_loop(frames, step=0.6, straight=80.0, radius=25.0):
+    """Closed stadium circuit sensor poses. Returns [T, 4, 4]."""
+    poses = []
+    pos = np.array([0.0, 0.0, 1.8])
+    yaw = 0.0
+    per_arc = np.pi * radius  # arc length of a half circle
+    period = 2 * straight + 2 * per_arc
+    s = 0.0
+    for t in range(frames):
+        R = np.array(
+            [[np.cos(yaw), -np.sin(yaw), 0], [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]
+        )
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        poses.append(T)
+        sp = s % period
+        if sp < straight or per_arc + straight <= sp < per_arc + 2 * straight:
+            dyaw = 0.0
+        else:
+            dyaw = step / radius  # left turn
+        yaw += dyaw
+        Rn = np.array(
+            [[np.cos(yaw), -np.sin(yaw), 0], [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]
+        )
+        pos = pos + Rn @ np.array([step, 0.0, 0.0])
+        s += step
+    return np.stack(poses)
+
+
+def _path_frame(poses):
+    """Per-pose 2D centerline + unit normal (left of travel)."""
+    centers = poses[:, :2, 3]
+    heading = poses[:, :2, 0]  # body +x in world
+    normals = np.stack([-heading[:, 1], heading[:, 0]], 1)
+    return centers, normals
+
+
+def build_world_loop(rng, poses, half_width=8.0):
+    """Static world lining the loop: ground band, facades, poles, clutter."""
+    centers, normals = _path_frame(poses)
+    # resample the centerline at ~1 m spacing for placement
+    seg = np.linalg.norm(np.diff(centers, axis=0), axis=1)
+    s = np.concatenate([[0], np.cumsum(seg)])
+    total = s[-1]
+    pts_list, lbl_list = [], []
+
+    def at(si):
+        i = min(int(np.searchsorted(s, si % total)), len(centers) - 1)
+        return centers[i], normals[i]
+
+    # ground: a lateral band around the centerline
+    n_road = 140000
+    si = rng.uniform(0, total, n_road)
+    off = rng.uniform(-(half_width + 4), half_width + 4, n_road)
+    idx = np.minimum(np.searchsorted(s, si), len(centers) - 1)
+    road_xy = centers[idx] + normals[idx] * off[:, None]
+    road = np.concatenate([road_xy, rng.normal(0, 0.015, (n_road, 1))], 1)
+    pts_list.append(road)
+    lbl_list.append(np.full(n_road, RAW_ROAD, np.uint32))
+    # buildings both sides every 8-16 m of arc length
+    si = 0.0
+    while si < total:
+        c, nvec = at(si)
+        for side in (-1, 1):
+            w = rng.uniform(6, 14)
+            d = rng.uniform(4, 8)
+            h = rng.uniform(5, 14)
+            cy = side * (half_width + d / 2 + rng.uniform(0.5, 2.0))
+            ctr = np.array([c[0] + nvec[0] * cy, c[1] + nvec[1] * cy, h / 2])
+            p, l = sample_box(rng, [0, 0, 0], [w, d, h], density=22.0, label=RAW_BUILDING)
+            yaw = np.arctan2(nvec[1], nvec[0])
+            Rz = np.array(
+                [[np.cos(yaw), -np.sin(yaw), 0], [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]
+            )
+            pts_list.append(p @ Rz.T + ctr)
+            lbl_list.append(l)
+        si += rng.uniform(8, 16)
+    # poles + yaw-diverse clutter (travel-direction conditioning, as in the
+    # straight-street builder)
+    for si in np.arange(0, total, 12.0):
+        c, nvec = at(si)
+        for side in (-1, 1):
+            ctr = np.array([c[0], c[1], 2.5]) + side * (half_width - 1.0) * np.array(
+                [nvec[0], nvec[1], 0]
+            )
+            p, l = sample_box(rng, ctr, [0.25, 0.25, 5.0], density=160.0, label=RAW_POLE)
+            pts_list.append(p)
+            lbl_list.append(l)
+    for _ in range(max(int(total / 2.5), 8)):
+        c, nvec = at(rng.uniform(0, total))
+        side = rng.choice([-1.0, 1.0])
+        cy = side * rng.uniform(half_width - 2.5, half_width + 2.0)
+        size = rng.uniform(0.4, 1.6, 3)
+        p, l = sample_box(rng, [0.0, 0.0, size[2] / 2], size, density=90.0, label=RAW_POLE)
+        yaw = rng.uniform(0, np.pi)
+        Rz = np.array(
+            [[np.cos(yaw), -np.sin(yaw), 0], [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]
+        )
+        ctr = np.array([c[0] + nvec[0] * cy, c[1] + nvec[1] * cy, 0.0])
+        pts_list.append(p @ Rz.T + ctr)
+        lbl_list.append(l)
+    return np.concatenate(pts_list).astype(np.float32), np.concatenate(lbl_list)
+
+
+def car_tracks_loop(rng, n_cars, poses):
+    """Cars circulating the OPPOSITE way in the other lane, param by arc length."""
+    centers, normals = _path_frame(poses)
+    seg = np.linalg.norm(np.diff(centers, axis=0), axis=1)
+    s = np.concatenate([[0], np.cumsum(seg)])
+    total = s[-1]
+    tracks = []
+    for _ in range(n_cars):
+        s0 = rng.uniform(0, total)
+        speed = rng.uniform(0.9, 1.4)
+        lane = rng.uniform(2.0, 4.5)
+        tracks.append((s0, lane, speed))
+    return tracks, (centers, normals, s, total)
+
+
+def car_pos_loop(track, geom, t):
+    s0, lane, speed = track
+    centers, normals, s, total = geom
+    si = (s0 - speed * t) % total
+    i = min(int(np.searchsorted(s, si)), len(centers) - 1)
+    c, nvec = centers[i], normals[i]
+    return np.array([c[0] + nvec[0] * lane, c[1] + nvec[1] * lane, 0.8])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -150,13 +288,22 @@ def main():
     ap.add_argument("--points-per-scan", type=int, default=26000)
     ap.add_argument("--noise", type=float, default=0.02)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--loop", action="store_true", help="closed stadium circuit (drift/back-end experiments)")
+    ap.add_argument("--straight", type=float, default=80.0, help="loop straight length (m)")
+    ap.add_argument("--radius", type=float, default=25.0, help="loop arc radius (m)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
     length = args.frames * 0.6 + 20
-    world, world_lbl = build_world(rng, length=length)
-    poses = trajectory(args.frames)
-    cars = car_tracks(rng, args.n_cars, args.frames, length)
+    if args.loop:
+        poses = trajectory_loop(args.frames, straight=args.straight, radius=args.radius)
+        world, world_lbl = build_world_loop(rng, poses)
+        car_trk, car_geom = car_tracks_loop(rng, args.n_cars, poses)
+        cars = None
+    else:
+        world, world_lbl = build_world(rng, length=length)
+        poses = trajectory(args.frames)
+        cars = car_tracks(rng, args.n_cars, args.frames, length)
 
     seq_dir = os.path.join(args.out, "dataset", "sequences", args.seq)
     os.makedirs(os.path.join(seq_dir, "velodyne"), exist_ok=True)
@@ -168,11 +315,20 @@ def main():
         R, p = T[:3, :3], T[:3, 3]
         # dynamic cars at this frame (dense: they sit close to the sensor)
         dyn_pts, dyn_lbl = [], []
-        for x0, y, speed in cars:
-            cx = x0 - speed * t
-            if -10 < cx < length:
+        if cars is not None:
+            for x0, y, speed in cars:
+                cx = x0 - speed * t
+                if -10 < cx < length:
+                    bp, bl = sample_box(
+                        rng, [cx, y, 0.8], [4.2, 1.9, 1.6], density=150.0, label=RAW_CAR
+                    )
+                    dyn_pts.append(bp)
+                    dyn_lbl.append(bl)
+        else:
+            for trk in car_trk:
+                ctr = car_pos_loop(trk, car_geom, t)
                 bp, bl = sample_box(
-                    rng, [cx, y, 0.8], [4.2, 1.9, 1.6], density=150.0, label=RAW_CAR
+                    rng, ctr, [4.2, 1.9, 1.6], density=150.0, label=RAW_CAR
                 )
                 dyn_pts.append(bp)
                 dyn_lbl.append(bl)
@@ -198,8 +354,9 @@ def main():
         poses[:, :3, :].reshape(args.frames, 12),
         fmt="%.9f",
     )
-    n_dyn = sum(1 for _ in cars)
-    print(f"wrote {args.frames} frames ({n_dyn} dynamic cars) to {seq_dir}")
+    n_dyn = args.n_cars
+    kind = "loop circuit" if args.loop else "street"
+    print(f"wrote {args.frames} {kind} frames ({n_dyn} dynamic cars) to {seq_dir}")
 
 
 if __name__ == "__main__":

@@ -192,19 +192,22 @@ def main():
         print(f"parent build only: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
 
         parent_c = jax.jit(lambda g, b, v: build_parent_index(g, b, v, 1))(grid, batch, valid)
+        parent_c = jax.tree_util.tree_map(jax.block_until_ready, parent_c)
+        parent_c = parent_c._replace(shift=1)  # back to static python int post-jit
 
+        # close over parent: .shift is a static python int, not a jit operand
         @jax.jit
-        def dv5(parent, valid, salt):
-            m5 = derive_kernel_map(parent, valid, spec5)
+        def dv5(valid, salt):
+            m5 = derive_kernel_map(parent_c, valid, spec5)
             return jnp.sum(m5.neighbor_idx.astype(jnp.float32)) + salt
         @jax.jit
-        def dv3(parent, valid, salt):
-            m3 = derive_kernel_map(parent, valid, spec3)
+        def dv3(valid, salt):
+            m3 = derive_kernel_map(parent_c, valid, spec3)
             return jnp.sum(m3.neighbor_idx.astype(jnp.float32)) + salt
 
-        per, comp = timed(dv5, (parent_c, valid))
+        per, comp = timed(dv5, (valid,))
         print(f"derive k5 only: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
-        per, comp = timed(dv3, (parent_c, valid))
+        per, comp = timed(dv3, (valid,))
         print(f"derive k3 only: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
 
         # raw scatter / wide-gather calibration at the shapes derive uses

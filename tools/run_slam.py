@@ -20,10 +20,13 @@ import numpy as np
 
 
 def main():
+    from pointcept_keypointdetection_tpu.utils.config import DictAction
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--config-file", default="configs/slam/kitti_odometry.py")
     parser.add_argument("--sequence", default=None)
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--options", nargs="+", action=DictAction, help="config overrides key=value")
     args = parser.parse_args()
 
     from pointcept_keypointdetection_tpu.datasets.semantic_kitti import read_scan
@@ -36,6 +39,8 @@ def main():
     from pointcept_keypointdetection_tpu.utils.config import Config
 
     cfg = Config.fromfile(args.config_file)
+    if args.options:
+        cfg.merge_from_dict(args.options)
     seq = args.sequence or cfg.sequence
     seq_dir = os.path.join(cfg.data_root, "dataset", "sequences", seq)
     scans = sorted(glob.glob(os.path.join(seq_dir, "velodyne", "*.bin")))

@@ -157,6 +157,15 @@ class Concerto(nn.Module):
     patch_w: int = 16
     mask_size: float = 0.4
     mask_ratio: float = 0.5
+    # Partial up-cast (reference `pretrain-concerto-v1m1-0-base.py:89-90`):
+    # distillation features live `up_cast_level` pooling levels above the
+    # bottleneck (NOT full resolution); cross-view matches are then radius-
+    # gated 1-nn in coordinate space (`match_neighbour`,
+    # concerto_v1m1_base.py:478-494) and image correspondences are pooled
+    # down to that level (`pool_corr`, :530-573).  None -> full resolution
+    # with exact origin-join matching (the round-2 TPU shortcut).
+    up_cast_level: Any = None
+    match_max_r: float = 0.32
     student_temp: float = 0.1
     teacher_temp: float = 0.06
     mask_loss_weight: float = 0.2
@@ -200,7 +209,12 @@ class Concerto(nn.Module):
         # a coarse coordinate grid, drop mask_ratio of the cells via salted
         # hashing (ratio holds in expectation; cells are i.i.d. Bernoulli)
         if train:
-            cell = jnp.floor(gp.coord / self.mask_size).astype(jnp.int32)
+            # scheduled mask_size / mask_ratio ride the batch when the
+            # SSLSchedule hook is registered (reference warms both up,
+            # concerto_v1m1_base.py:141-151); defaults otherwise
+            mask_size = batch.get("mask_size", jnp.float32(self.mask_size))
+            mask_ratio = batch.get("mask_ratio", jnp.float32(self.mask_ratio))
+            cell = jnp.floor(gp.coord / mask_size).astype(jnp.int32)
             h = (
                 cell[:, 0].astype(jnp.uint32) * jnp.uint32(73856093)
                 ^ cell[:, 1].astype(jnp.uint32) * jnp.uint32(19349663)
@@ -210,9 +224,8 @@ class Concerto(nn.Module):
             salt = jax.random.randint(
                 self.make_rng("mask"), (), 0, 2**31 - 1, jnp.int32
             ).astype(jnp.uint32)
-            masked = ((h ^ salt) * jnp.uint32(2654435761)) < jnp.uint32(
-                int(self.mask_ratio * 0xFFFFFFFF)
-            )
+            u = ((h ^ salt) * jnp.uint32(2654435761)).astype(jnp.float32) / jnp.float32(2**32)
+            masked = u < mask_ratio
         else:
             masked = jnp.zeros(gp.num_points, bool)
 
@@ -220,8 +233,19 @@ class Concerto(nn.Module):
             "mask_token", nn.initializers.normal(0.02), (self.backbone_in_channels,), jnp.float32
         )
 
-        student_bb = build_model(dict(self.backbone, name="student_backbone"))
-        teacher_bb = build_model(dict(self.backbone, name="teacher_backbone"))
+        bb_conf = dict(self.backbone)
+        pooled = self.up_cast_level is not None
+        if pooled:
+            # reference regime: features `up_cast_level` levels above the
+            # bottleneck, returned as a PointBatch with the full-res -> level
+            # row map for correspondence pooling
+            bb_conf.update(
+                enc_mode=True,
+                upcast_level=int(self.up_cast_level),
+                enc_return_point=True,
+            )
+        student_bb = build_model(dict(bb_conf, name="student_backbone"))
+        teacher_bb = build_model(dict(bb_conf, name="teacher_backbone"))
         head_cfg = dict(
             hidden_channels=self.head_hidden_channels,
             embed_channels=self.head_embed_channels,
@@ -233,20 +257,36 @@ class Concerto(nn.Module):
         use_mask_head = self.mask_loss_weight > 0 or self.roll_mask_loss_weight > 0
 
         # --- teacher on clean globals (stop-grad)
-        t_feat = jax.lax.stop_gradient(teacher_bb(gp, train=False))
+        t_out = teacher_bb(gp, train=False)
+        if pooled:
+            t_out = jax.tree_util.tree_map(jax.lax.stop_gradient, t_out)
+            t_feat, lvl_valid = t_out.feat, t_out.valid
+        else:
+            t_feat = jax.lax.stop_gradient(t_out)
+            lvl_valid = gp.valid
+        teacher_temp = batch.get("teacher_temp", jnp.float32(self.teacher_temp))
         t_head = OnlineCluster(
             **head_cfg, name="teacher_mask_head" if use_mask_head else "teacher_unmask_head"
         )
         t_logits = jax.lax.stop_gradient(t_head(t_feat))
         t_assign = jax.lax.stop_gradient(
-            sinkhorn(jnp.where(gp.valid[:, None], t_logits / self.teacher_temp, -1e9))
+            sinkhorn(jnp.where(lvl_valid[:, None], t_logits / teacher_temp, -1e9))
         )
 
-        # --- student on masked globals
+        # --- student on masked globals (mask applied at INPUT resolution;
+        # the pooling partition depends only on grid coords, so student and
+        # teacher level rows stay aligned)
         s_in = gp.replace(
             feat=jnp.where(masked[:, None], mask_token.astype(gp.feat.dtype), gp.feat)
         )
-        s_feat = student_bb(s_in, train=train)
+        s_out = student_bb(s_in, train=train)
+        if pooled:
+            s_point = s_out
+            s_feat = s_point.feat
+            lvl_coord = s_point.coord
+            lvl_batch = s_point.batch
+        else:
+            s_feat = s_out
 
         def view_ce(s_logits, t_assign_rows, w):
             logp = jax.nn.log_softmax(s_logits / self.student_temp, axis=-1)
@@ -256,27 +296,47 @@ class Concerto(nn.Module):
         if use_mask_head:
             s_mask_logits = OnlineCluster(**head_cfg, name="student_mask_head")(s_feat)
             if self.mask_loss_weight > 0:
-                # same rows student<->teacher (full-res views align exactly)
-                w = gp.valid.astype(jnp.float32)
+                # same rows student<->teacher (level partitions align exactly)
+                w = lvl_valid.astype(jnp.float32)
                 mask_loss = view_ce(s_mask_logits, t_assign, w)
                 out["mask_loss"] = mask_loss
                 losses.append(mask_loss * self.mask_loss_weight)
             if self.roll_mask_loss_weight > 0 and g == 2:
                 # student view i vs teacher view (1-i) (`roll_point`, :496-511)
-                half = gp.num_points // 2
+                half = s_feat.shape[0] // 2
                 rolled_assign = jnp.concatenate([t_assign[half:], t_assign[:half]], 0)
-                r_origin = jnp.concatenate([g_origin[half:], g_origin[:half]], 0)
-                r_valid = jnp.concatenate([gp.valid[half:], gp.valid[:half]], 0)
-                i1, i2, mv = match_views_b(
-                    g_origin, gp.valid, g_sample, r_origin, r_valid,
-                    jnp.concatenate([g_sample[half:], g_sample[:half]], 0),
-                    self.num_matches,
-                )
-                roll_loss = view_ce(
-                    jnp.take(s_mask_logits, i1, axis=0),
-                    jnp.take(rolled_assign, i2, axis=0),
-                    mv.astype(jnp.float32),
-                )
+                if pooled:
+                    # radius-gated 1-nn in coordinate space — the reference's
+                    # `match_neighbour` (:478-494); rolling swaps view blocks,
+                    # so matching within the same slot-batch id pairs view i
+                    # rows with teacher view (1-i) rows of the same sample
+                    from ..ops.knn import knn
+
+                    r_coord = jnp.concatenate([lvl_coord[half:], lvl_coord[:half]], 0)
+                    r_valid = jnp.concatenate([lvl_valid[half:], lvl_valid[:half]], 0)
+                    idx, sqd = knn(
+                        lvl_coord, r_coord, 1,
+                        query_batch=lvl_batch, base_batch=lvl_batch, base_valid=r_valid,
+                    )
+                    ok = (sqd[:, 0] <= self.match_max_r**2) & lvl_valid
+                    roll_loss = view_ce(
+                        s_mask_logits,
+                        jnp.take(rolled_assign, idx[:, 0], axis=0),
+                        ok.astype(jnp.float32),
+                    )
+                else:
+                    r_origin = jnp.concatenate([g_origin[half:], g_origin[:half]], 0)
+                    r_valid = jnp.concatenate([gp.valid[half:], gp.valid[:half]], 0)
+                    i1, i2, mv = match_views_b(
+                        g_origin, gp.valid, g_sample, r_origin, r_valid,
+                        jnp.concatenate([g_sample[half:], g_sample[:half]], 0),
+                        self.num_matches,
+                    )
+                    roll_loss = view_ce(
+                        jnp.take(s_mask_logits, i1, axis=0),
+                        jnp.take(rolled_assign, i2, axis=0),
+                        mv.astype(jnp.float32),
+                    )
                 out["roll_mask_loss"] = roll_loss
                 losses.append(roll_loss * self.roll_mask_loss_weight)
 
@@ -284,27 +344,52 @@ class Concerto(nn.Module):
             lp, l_origin, l_sample = self._view_batch(
                 batch, "local", l, self.backbone_in_channels, nb
             )
-            l_feat = student_bb(lp, train=train)
-            s_unmask_logits = OnlineCluster(**head_cfg, name="student_unmask_head")(l_feat)
-            # match locals against the principal (first) global view only
-            # (`concerto_v1m1_base.py:713-725`); teacher head priority
-            # mask > unmask mirrors the reference (`:633-641`)
-            principal = jnp.arange(gp.num_points) < gp.num_points // g
-            i1, i2, mv = match_views_b(
-                l_origin, lp.valid, l_sample,
-                g_origin, gp.valid & principal, g_sample,
-                self.num_matches,
-            )
-            unmask_loss = view_ce(
-                jnp.take(s_unmask_logits, i1, axis=0),
-                jnp.take(t_assign, i2, axis=0),
-                mv.astype(jnp.float32),
-            )
+            l_out = student_bb(lp, train=train)
+            if pooled:
+                l_feat = l_out.feat
+                s_unmask_logits = OnlineCluster(**head_cfg, name="student_unmask_head")(l_feat)
+                # locals vs the principal global view, radius 1-nn at level
+                from ..ops.knn import knn
+
+                principal = jnp.arange(s_feat.shape[0]) < s_feat.shape[0] // g
+                l_lvl_sample = l_out.batch % nb
+                g_lvl_sample = lvl_batch % nb
+                idx, sqd = knn(
+                    l_out.coord, lvl_coord, 1,
+                    query_batch=l_lvl_sample, base_batch=g_lvl_sample,
+                    base_valid=lvl_valid & principal,
+                )
+                ok = (sqd[:, 0] <= self.match_max_r**2) & l_out.valid
+                unmask_loss = view_ce(
+                    s_unmask_logits,
+                    jnp.take(t_assign, idx[:, 0], axis=0),
+                    ok.astype(jnp.float32),
+                )
+            else:
+                l_feat = l_out
+                s_unmask_logits = OnlineCluster(**head_cfg, name="student_unmask_head")(l_feat)
+                # match locals against the principal (first) global view only
+                # (`concerto_v1m1_base.py:713-725`); teacher head priority
+                # mask > unmask mirrors the reference (`:633-641`)
+                principal = jnp.arange(gp.num_points) < gp.num_points // g
+                i1, i2, mv = match_views_b(
+                    l_origin, lp.valid, l_sample,
+                    g_origin, gp.valid & principal, g_sample,
+                    self.num_matches,
+                )
+                unmask_loss = view_ce(
+                    jnp.take(s_unmask_logits, i1, axis=0),
+                    jnp.take(t_assign, i2, axis=0),
+                    mv.astype(jnp.float32),
+                )
             out["unmask_loss"] = unmask_loss
             losses.append(unmask_loss * self.unmask_loss_weight)
 
         if self.enc2d_loss_weight > 0 and "images" in batch:
-            enc2d_loss = self._enc2d_loss(batch, s_feat, gp, nb)
+            if pooled:
+                enc2d_loss = self._enc2d_loss_pooled(batch, s_point, gp, nb)
+            else:
+                enc2d_loss = self._enc2d_loss(batch, s_feat, gp, nb)
             out["enc2d_loss"] = enc2d_loss
             losses.append(enc2d_loss * self.enc2d_loss_weight)
 
@@ -312,9 +397,55 @@ class Concerto(nn.Module):
         return out
 
     def _enc2d_loss(self, batch, s_feat, gp, nb):
-        """Patch-bin distillation (`concerto_v1m1_base.py:741-840`): pool
-        student point features into (sample, view, patch) bins through the
-        major view's correspondences; cosine-regress onto the frozen 2D
+        """Patch-bin distillation at full resolution (up_cast_level=None)."""
+        ng = gp.num_points // self.num_global_view
+        corr = batch["global1_correspondence"].astype(jnp.int32)  # [ng, V, 2]
+        py, px = corr[..., 0], corr[..., 1]
+        major_feat = nn.Dense(self.enc2d_embed_channels, name="patch_proj")(s_feat[:ng])
+        major_valid = gp.valid[:ng]
+        sample = jnp.arange(ng) // (ng // nb)
+        return self._enc2d_core(batch, py, px, major_feat, major_valid, sample, nb)
+
+    def _enc2d_loss_pooled(self, batch, s_point, gp, nb):
+        """Patch-bin distillation at the up-cast level: correspondences are
+        POOLED down to the feature level first — per (level point, image),
+        the mean patch coordinate over children with a valid pair, invalid
+        when no child has one (the reference's ``pool_corr``,
+        `concerto_v1m1_base.py:530-573`, as one scatter-mean)."""
+        g = self.num_global_view
+        v = batch["images"].shape[1]
+        ng0 = gp.num_points // g  # full-res view-1 rows
+        n_lvl = s_point.num_points
+        n_lvl1 = n_lvl // g
+        f2l = s_point.context["full_to_level"][:ng0]  # full row -> level row
+        f2lv = s_point.context["full_to_level_valid"][:ng0]
+        corr = batch["global1_correspondence"].astype(jnp.int32)  # [ng0, V, 2]
+        py0, px0 = corr[..., 0], corr[..., 1]
+        pair_ok = (
+            (py0 >= 0) & (py0 < self.patch_h) & (px0 >= 0) & (px0 < self.patch_w)
+            & f2lv[:, None]
+        )  # [ng0, V]
+        tgt = jnp.where(pair_ok, f2l[:, None] * v + jnp.arange(v)[None, :], n_lvl1 * v)
+        vals = jnp.stack([py0, px0], -1).astype(jnp.float32)  # [ng0, V, 2]
+        sums = jnp.zeros((n_lvl1 * v, 2), jnp.float32).at[tgt.reshape(-1)].add(
+            jnp.where(pair_ok.reshape(-1, 1), vals.reshape(-1, 2), 0.0), mode="drop"
+        )
+        cnts = jnp.zeros((n_lvl1 * v,), jnp.float32).at[tgt.reshape(-1)].add(
+            pair_ok.reshape(-1).astype(jnp.float32), mode="drop"
+        )
+        mean_pp = jnp.round(sums / jnp.maximum(cnts, 1.0)[:, None]).astype(jnp.int32)
+        py = jnp.where(cnts > 0, mean_pp[:, 0], -1).reshape(n_lvl1, v)
+        px = jnp.where(cnts > 0, mean_pp[:, 1], -1).reshape(n_lvl1, v)
+        major_feat = nn.Dense(self.enc2d_embed_channels, name="patch_proj")(
+            s_point.feat[:n_lvl1]
+        )
+        major_valid = s_point.valid[:n_lvl1]
+        sample = jnp.arange(n_lvl1) // (n_lvl1 // nb)
+        return self._enc2d_core(batch, py, px, major_feat, major_valid, sample, nb)
+
+    def _enc2d_core(self, batch, py, px, major_feat, major_valid, sample, nb):
+        """Shared tail (`concerto_v1m1_base.py:741-840`): pool point features
+        into (sample, view, patch) bins, cosine-regress onto the frozen 2D
         encoder's patch features over the touched bins."""
         images = batch["images"]  # [B, V, 3, H, W]
         img_valid = batch.get(
@@ -334,14 +465,6 @@ class Concerto(nn.Module):
             enc2d(images.reshape(b * v, *images.shape[2:]))
         ).reshape(b * v * p, self.enc2d_embed_channels)
 
-        # major view rows only (first global view block)
-        ng = gp.num_points // self.num_global_view
-        corr = batch["global1_correspondence"].astype(jnp.int32)  # [ng, V, 2]
-        major_feat = nn.Dense(self.enc2d_embed_channels, name="patch_proj")(s_feat[:ng])
-        major_valid = gp.valid[:ng]
-        sample = jnp.arange(ng) // (ng // nb)
-
-        py, px = corr[..., 0], corr[..., 1]
         pair_ok = (
             (py >= 0) & (py < self.patch_h) & (px >= 0) & (px < self.patch_w)
             & major_valid[:, None]

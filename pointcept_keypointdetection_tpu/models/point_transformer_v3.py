@@ -380,6 +380,9 @@ class PointTransformerV3(nn.Module):
     # features onto the parent resolution (reference `up_cast`,
     # concerto_v1m1_base.py:517-529).  num_stages-1 -> full resolution.
     upcast_level: int = 0
+    # enc-mode only: return the level's PointBatch (coords/valid + the
+    # full-res -> level row map in .context) instead of bare features
+    enc_return_point: bool = False
     # per-encoder-stage slot capacity divisor vs the input slot size
     slot_divisors: Sequence[int] = (1, 2, 4, 8, 16)
     attn_impl: str = "auto"
@@ -566,7 +569,24 @@ class PointTransformerV3(nn.Module):
                 prow = jnp.minimum(su.parent_row, x.feat.shape[0])
                 gathered = jnp.take(pad, prow, axis=0)
                 x = skip.replace(feat=jnp.concatenate([skip.feat, gathered], axis=-1))
-            return x.feat
+            if not self.enc_return_point:
+                return x.feat
+            # PointBatch return (Concerto partial up-cast): attach the
+            # composed full-resolution -> returned-level row map so callers
+            # can pool per-point side data (correspondences — the reference's
+            # ``pool_corr``, concerto_v1m1_base.py:530-573) down to the
+            # feature level with one scatter.
+            level = num_stages - 1 - self.upcast_level
+            rows = jax.lax.broadcasted_iota(jnp.int32, (point.num_points, 1), 0).reshape(-1)
+            ok = point.valid
+            for su in sus[:level]:
+                cap = su.out_valid.shape[0]
+                nxt = jnp.take(su.parent_row, rows, axis=0)
+                ok = ok & (nxt < cap)
+                rows = jnp.minimum(nxt, cap - 1)
+            return x.replace(
+                context={**x.context, "full_to_level": rows, "full_to_level_valid": ok}
+            )
 
         # ---- decoder -----------------------------------------------------
         for s in reversed(range(num_stages - 1)):

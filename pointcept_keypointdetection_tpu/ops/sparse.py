@@ -363,7 +363,11 @@ def derive_kernel_map(
         parent.cell_table.reshape(-1), jnp.minimum(ncell, n) * nsub + subs, axis=0
     )
     neighbor = jnp.where(valid[:, None] & (parent.cell_of[:, None] < n), neighbor, n)
-    return KernelMap(neighbor_idx=neighbor.astype(jnp.int32))
+    # materialize: without the barrier XLA fuses this two-level gather chain
+    # into every consumer (the conv's K feature gathers), recomputing it per
+    # consumer — measured 4x slower fused than decomposed on the bench backend
+    neighbor = jax.lax.optimization_barrier(neighbor.astype(jnp.int32))
+    return KernelMap(neighbor_idx=neighbor)
 
 
 def _hash_mix(hi: jnp.ndarray, lo: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

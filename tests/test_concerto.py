@@ -174,3 +174,74 @@ def test_concerto_forward_and_grads(rng):
     assert gnorm(g["student_backbone"]) > 0.0
     assert gnorm(g["student_mask_head"]) > 0.0
     assert gnorm(g["patch_proj"]) > 0.0
+
+
+def test_concerto_pooled_upcast_level(rng):
+    """Reference regime (pretrain-concerto-v1m1-0-base.py:89-90): distillation
+    at up_cast_level=2 above the bottleneck with radius-matched views and
+    pooled correspondences (PTv3 enc-mode backbone)."""
+    batch = _concerto_batch(rng)
+    point = build_point_batch(batch, 1)
+    model = MODELS.build(
+        dict(
+            type="Concerto-v1m1",
+            backbone=dict(
+                type="PT-v3m1", in_channels=3,
+                stride=(2, 2), enc_depths=(1, 1, 1), enc_channels=(8, 16, 16),
+                enc_num_head=(2, 2, 2), enc_patch_size=(16, 16, 16),
+                dec_depths=(1, 1), dec_channels=(8, 16), dec_num_head=(2, 2),
+                dec_patch_size=(16, 16), mlp_ratio=1, drop_path=0.0,
+                slot_divisors=(1, 2, 4), stem_kernel=3, shuffle_orders=False,
+            ),
+            backbone_in_channels=3,
+            up_cast_level=1,  # features one level above the bottleneck
+            match_max_r=0.5,
+            num_global_view=2,
+            num_local_view=2,
+            head_hidden_channels=32,
+            head_embed_channels=16,
+            head_num_prototypes=32,
+            enc2d_embed_channels=16,
+            enc2d_depth=1,
+            enc2d_num_heads=2,
+            patch_size=PS,
+            patch_h=PH,
+            patch_w=PW,
+            num_matches=128,
+        )
+    )
+    rngs = {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)}
+    variables = jax.jit(functools.partial(model.init, train=True))(rngs, point, batch)
+
+    def loss_fn(p):
+        o, _ = model.apply(
+            {"params": p, "batch_stats": variables.get("batch_stats", {})},
+            point, batch, train=True, mutable=["batch_stats"],
+            rngs={"mask": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3),
+                  "shuffle": jax.random.PRNGKey(4)},
+        )
+        return o["loss"], o
+
+    (loss, out), g = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(loss))
+    for key in ("mask_loss", "roll_mask_loss", "unmask_loss", "enc2d_loss"):
+        assert key in out and np.isfinite(float(out[key])), key
+
+    def gnorm(sub):
+        return sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(sub))
+
+    assert gnorm(g["teacher_backbone"]) == 0.0
+    assert gnorm(g["student_backbone"]) > 0.0
+
+    # scheduled masking rides the batch (SSLSchedule hook contract)
+    batch2 = dict(batch)
+    batch2["mask_size"] = np.float32(0.2)
+    batch2["mask_ratio"] = np.float32(0.9)
+    batch2["teacher_temp"] = np.float32(0.05)
+    o2 = model.apply(
+        {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})},
+        point, batch2, train=True, mutable=["batch_stats"],
+        rngs={"mask": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3),
+              "shuffle": jax.random.PRNGKey(4)},
+    )[0]
+    assert np.isfinite(float(o2["loss"]))

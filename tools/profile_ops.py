@@ -260,6 +260,35 @@ def main():
         per, comp = timed(km3sl, (grid, batch, valid))
         print(f"kmap k3 sortmerge single-lane d10: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
 
+    if "conv5" in which:
+        # the k=5 stem conv itself (in_ch 6 -> 32): is the honest-workload
+        # residual the [N,125,6] im2col gather?
+        from pointcept_keypointdetection_tpu.ops.sparse import (
+            build_parent_index,
+            derive_kernel_map,
+        )
+
+        parent_c = jax.jit(lambda g, b, v: build_parent_index(g, b, v, 1))(grid, batch, valid)
+        parent_c = jax.tree_util.tree_map(jax.block_until_ready, parent_c)
+        parent_c = parent_c._replace(shift=1)
+        for ksz in (3, 5):
+            spec = SparseConvSpec.cube(ksz)
+            kmap = jax.jit(lambda v: derive_kernel_map(parent_c, v, spec))(valid)
+            kmap = jax.tree_util.tree_map(jax.block_until_ready, kmap)
+            k = len(spec.offsets)
+            for cin, cout in ((6, 32),):
+                for path, width in (("im2col", 2048), ("scan", 1)):
+                    x = jnp.asarray(rng.normal(size=(N, cin)), jnp.bfloat16)
+                    w = jnp.asarray(rng.normal(size=(k, cin, cout)) * 0.05, jnp.float32)
+
+                    @jax.jit
+                    def conv(x, w, salt):
+                        y = x + salt.astype(x.dtype)
+                        return jnp.sum(sparse_conv(y, kmap, w, im2col_max_width=width).astype(jnp.float32))
+
+                    per, comp = timed(conv, (x, w))
+                    print(f"conv k{ksz} c{cin}->{cout} {path}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
     if "attn1024" in which:
         # the reference ScanNet config's true patch size is 1024 — compare
         # dense-chunked XLA vs the Pallas VMEM kernel at the bench stage shapes

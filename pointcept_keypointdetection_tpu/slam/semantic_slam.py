@@ -50,6 +50,13 @@ class SemanticSLAM:
         self.edges: List[tuple] = []
         self._frame = 0
         self._corrections = np.eye(4)
+        # per-frame anchor for retro-correction: (keyframe index, T_rel)
+        # where T_rel = kf_T_then^-1 @ frame_T, both expressed in the world
+        # frame current at process time (so T_rel is locally drift-free);
+        # the FINAL trajectory re-bases every frame on its keyframe's
+        # optimized pose — this is how a loop closure fixes the past
+        self._anchors: List[tuple] = []
+        self._loop_count = 0
 
     # -- keyframing ------------------------------------------------------
     def _is_keyframe(self, R, t) -> bool:
@@ -124,6 +131,7 @@ class SemanticSLAM:
         Z_R = Ri @ R_k
         Z_t = Ri @ t_k2 + ti
         self.edges.append((j, k, Z_R, Z_t, 2.0))
+        self._loop_count += 1
 
     # -- pose graph solve ------------------------------------------------
     def _optimize_graph(self):
@@ -157,11 +165,46 @@ class SemanticSLAM:
     def process(self, scan: np.ndarray, labels: Optional[np.ndarray] = None) -> np.ndarray:
         pose = self.odo.process(scan, labels)
         R, t = pose[:3, :3].astype(np.float32), pose[:3, 3].astype(np.float32)
+        n_kf = len(self.kf_R)
         if self._is_keyframe(R, t):
             pts = scan[:, :3].astype(np.float32)
             self._add_keyframe(R, t, pts, np.isfinite(pts).all(1))
+        if len(self.kf_R) > n_kf:
+            # anchor = identity on the new keyframe (its stored pose IS this
+            # frame's pose; _add_keyframe may immediately optimize the graph,
+            # which would make a pose-vs-keyframe delta inconsistent)
+            self._anchors.append((len(self.kf_R) - 1, np.eye(4)))
+        else:
+            # anchor this frame to the most recent keyframe (both poses are
+            # in the world frame current RIGHT NOW — no optimize ran since
+            # the odometry step — so the relative stays exact even after
+            # later graph corrections move the keyframe)
+            k = len(self.kf_R) - 1
+            kf_R, kf_t = self.kf_R[k], self.kf_t[k]
+            T_rel = np.eye(4)
+            T_rel[:3, :3] = kf_R.T @ pose[:3, :3]
+            T_rel[:3, 3] = kf_R.T @ (pose[:3, 3] - kf_t)
+            self._anchors.append((k, T_rel))
         self._frame += 1
         return pose
+
+    def final_trajectory(self, optimize_final: bool = True) -> np.ndarray:
+        """[N, 4, 4] retro-corrected poses from the optimized keyframe graph.
+
+        Each frame is re-based on its anchor keyframe's OPTIMIZED pose, so a
+        loop closure found at frame N corrects the whole history — the
+        quantity a SLAM back-end is judged on (vs the live ``positions``
+        which only benefit from corrections going forward).
+        """
+        if optimize_final and len(self.edges) >= len(self.kf_R):
+            self._optimize_graph()
+        out = []
+        for k, T_rel in self._anchors:
+            T_kf = np.eye(4)
+            T_kf[:3, :3] = self.kf_R[k]
+            T_kf[:3, 3] = self.kf_t[k]
+            out.append(T_kf @ T_rel)
+        return np.stack(out) if out else np.zeros((0, 4, 4))
 
     @property
     def positions(self) -> np.ndarray:

@@ -127,6 +127,41 @@ def test_loop_closure_reduces_drift(rng):
     assert ate_after < ate_before * 0.5, (ate_before, ate_after)
 
 
+def test_final_trajectory_retro_correction(rng):
+    """final_trajectory re-bases every frame on its anchor keyframe's
+    OPTIMIZED pose: with no corrections it reproduces the live trajectory,
+    and a rigid keyframe correction moves anchored frames rigidly with it
+    (how a loop closure found late fixes the whole history)."""
+    world = _structured_world(rng)
+    cfg = SlamConfig(
+        odometry=OdometryConfig(
+            scan_capacity=2048, map_capacity=8192, scan_voxel=0.4, map_voxel=0.4,
+            icp_iters=6, max_corr_dist=1.5, min_range=0.0, max_range=60.0,
+            map_origin=(-60.0, -60.0, -20.0), map_radius=120.0,
+        ),
+        keyframe_dist=0.9,
+        loop_closure=False,
+        optimize_every=0,  # no solves: live == retro baseline
+        keyframe_scan_size=1024,
+    )
+    slam = SemanticSLAM(cfg)
+    for i in range(6):
+        t = np.array([0.4 * i, 0.0, 0.0])
+        scan = (world - t).astype(np.float32)
+        keep = np.linalg.norm(scan, axis=1) < 45
+        slam.process(scan[keep])
+    assert len(slam._anchors) == 6
+    assert 2 <= len(slam.kf_R) < 6  # some frames anchored to non-self keyframes
+    final0 = slam.final_trajectory(optimize_final=False)
+    np.testing.assert_allclose(final0[:, :3, 3], slam.positions, atol=1e-5)
+    # simulate a back-end correction: rigidly shift all keyframes
+    delta = np.array([0.3, -0.2, 0.1], np.float32)
+    for i in range(len(slam.kf_t)):
+        slam.kf_t[i] = slam.kf_t[i] + delta
+    final1 = slam.final_trajectory(optimize_final=False)
+    np.testing.assert_allclose(final1[:, :3, 3], final0[:, :3, 3] + delta, atol=1e-5)
+
+
 def test_run_slam_cli_full_backend(rng, tmp_path, monkeypatch, capsys):
     """tools/run_slam.py with a `slam` config section drives the full
     SemanticSLAM back-end (keyframes/loop/pose-graph) over a synthetic KITTI

@@ -95,6 +95,16 @@ def main():
     os.makedirs(cfg.save_path, exist_ok=True)
     poses = engine.odo.poses if slam_opts else engine.poses
     positions = engine.positions
+    if slam_opts:
+        # retro-corrected trajectory: every frame re-based on its anchor
+        # keyframe's optimized pose (a loop closure fixes the past)
+        final = engine.final_trajectory()
+        positions = final[:, :3, 3]
+        poses = list(final)
+        print(
+            f"keyframes: {len(engine.kf_R)}   edges: {len(engine.edges)}   "
+            f"loop closures: {engine._loop_count}"
+        )
     traj = np.stack([p[:3].reshape(-1) for p in poses])
     np.savetxt(os.path.join(cfg.save_path, f"traj_{seq}.txt"), traj, fmt="%.6f")
 
@@ -106,6 +116,10 @@ def main():
         ate, _ = absolute_trajectory_error(positions, gt, align=True)
         rpe, _ = relative_pose_error(positions, gt, delta=10)
         print(f"ATE RMSE: {ate:.3f} m   RPE@10: {rpe:.3f} m")
+        if slam_opts:
+            live = engine.odo.positions
+            ate_live, _ = absolute_trajectory_error(live, gt, align=True)
+            print(f"ATE RMSE (live, no retro-correction): {ate_live:.3f} m")
 
 
 def _build_semseg(cfg):

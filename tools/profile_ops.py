@@ -168,6 +168,28 @@ def main():
         per, comp = timed(km5p, (grid, batch, valid))
         print(f"kmap k5+k3 parent-derived: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
 
+        # hypothesis (PERF r3): the fused program costs 4x its decomposition
+        # because XLA duplicates the parent build into each consumer fusion;
+        # an optimization_barrier forces one materialization
+        @jax.jit
+        def km5p_bar(grid, batch, valid, salt):
+            g = grid + salt.astype(jnp.int32) * 0
+            parent = build_parent_index(g, batch, valid, 1)
+            barred = jax.lax.optimization_barrier(
+                (parent.cell_kmap, parent.cell_table, parent.cell_of, parent.parity)
+            )
+            parent = parent._replace(
+                cell_kmap=barred[0], cell_table=barred[1], cell_of=barred[2], parity=barred[3]
+            )
+            m5 = derive_kernel_map(parent, valid, spec5)
+            m3 = derive_kernel_map(parent, valid, spec3)
+            return jnp.sum(m5.neighbor_idx.astype(jnp.float32)) + jnp.sum(
+                m3.neighbor_idx.astype(jnp.float32)
+            )
+
+        per, comp = timed(km5p_bar, (grid, batch, valid))
+        print(f"kmap k5+k3 parent-derived +barrier: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
     if "kmap5d" in which:
         # decomposition: parent build alone / derive alone / scatter+gather raw
         from pointcept_keypointdetection_tpu.ops.sparse import (

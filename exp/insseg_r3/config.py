@@ -85,4 +85,28 @@ data = {'num_classes': 6,
                        {'type': 'InstanceParser', 'segment_ignore_index': (-1, 0, 1)},
                        {'type': 'Collect',
                         'keys': ('coord', 'grid_coord', 'segment', 'instance', 'instance_centroid'),
-                        'feat_keys': ('coord', 'color')}]}}
+                        'feat_keys': ('coord', 'color')}]},
+ 'test': {'type': 'SyntheticSemSegDataset',
+          'split': 'val',
+          'num_scenes': 6,
+          'num_points': 8000,
+          'num_classes': 6,
+          'transform': [{'type': 'CenterShift', 'apply_z': True},
+                        {'type': 'GridSample',
+                         'grid_size': 0.05,
+                         'mode': 'train',
+                         'return_grid_coord': True},
+                        {'type': 'NormalizeColor'},
+                        {'type': 'InstanceParser', 'segment_ignore_index': (-1, 0, 1)},
+                        {'type': 'Collect',
+                         'keys': ('coord',
+                                  'grid_coord',
+                                  'segment',
+                                  'instance',
+                                  'instance_centroid'),
+                         'feat_keys': ('coord', 'color')}]}}
+test = {'type': 'InsSegTester',
+ 'segment_ignore_index': (-1, 0, 1),
+ 'cluster_thresh': 0.08,
+ 'cluster_min_points': 50,
+ 'capacity': 4096}

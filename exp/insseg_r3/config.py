@@ -1,6 +1,6 @@
 seed = 7
 save_path = 'exp/insseg_r3'
-weight = None
+weight = 'exp/insseg_r3/model/model_best.ckpt'
 resume = False
 evaluate = True
 amp = None

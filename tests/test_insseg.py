@@ -63,6 +63,49 @@ def test_ap_half_wrong():
     assert 0.4 < all_ap < 1.0  # high-IoU thresholds lose the partial mask
 
 
+def test_associate_batch_splits_collated_scenes():
+    """Two collated scenes with COLLIDING scene-local instance ids: per-sample
+    association must give mAP 1.0 for oracle predictions; the old whole-batch
+    association fused same-id instances across scenes (regression: training
+    logs said mAP 0.017 where the per-scene tester measured 0.739)."""
+    from pointcept_keypointdetection_tpu.engines.hooks.insseg_evaluator import (
+        associate_batch,
+    )
+
+    n = 300  # per scene
+    # both scenes: one class-2 instance with local id 0 at different places
+    segment = np.full(2 * n, 2, np.int32)
+    instance = np.zeros(2 * n, np.int32)  # id 0 in BOTH scenes
+    batch_ids = np.repeat([0, 1], n)
+    valid = np.ones(2 * n, bool)
+    # oracle proposals: one mask per scene
+    masks = np.stack([batch_ids == 0, batch_ids == 1])
+    classes = np.array([2, 2])
+    scores = np.array([0.9, 0.9])
+
+    scenes = associate_batch(
+        masks, classes, scores, valid, batch_ids, segment, instance,
+        num_samples=2, num_classes=4, segment_ignore_index=(-1, 0, 1),
+    )
+    assert len(scenes) == 2
+    ap = evaluate_matches(scenes, [2])
+    all_ap, ap50, ap25 = summarize_ap(ap)
+    assert all_ap == 1.0 and ap50 == 1.0 and ap25 == 1.0
+
+    # the failure mode being guarded: whole-batch association sees ONE gt
+    # instance (id 0, 600 pts) while each oracle mask covers half -> IoU 0.5
+    from pointcept_keypointdetection_tpu.engines.hooks.insseg_evaluator import (
+        associate_instances,
+    )
+
+    gt, pr = associate_instances(
+        classes, scores, masks, segment, instance, 4, (-1, 0, 1)
+    )
+    fused = evaluate_matches([dict(gt=gt, pr=pr)], [2])
+    fused_map, _, _ = summarize_ap(fused)
+    assert fused_map < 0.5
+
+
 def test_insseg_tester_end_to_end(tmp_path):
     """InsSegTester with an oracle forward: perfect semantics + shifts -> mAP 1.
 

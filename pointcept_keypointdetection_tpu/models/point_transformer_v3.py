@@ -37,6 +37,7 @@ from ..ops.sparse import (
     build_kernel_map,
     build_parent_index,
     build_voxel_index,
+    cell_packed_conv,
     derive_kernel_map,
     kmap_single_lane,
     sparse_conv,
@@ -453,11 +454,9 @@ class PointTransformerV3(nn.Module):
                 point.grid_coord, batch, point.valid, shift, kd, single_lane=sl,
                 precomputed_perm=reuse_perm(point),
             )
-            kmap_stem = derive_kernel_map(parent, point.valid, spec_stem)
-            kmap_cpe0 = (
-                kmap_stem
-                if self.cpe_kernel_size == self.stem_kernel
-                else derive_kernel_map(parent, point.valid, SparseConvSpec.cube(self.cpe_kernel_size))
+            kmap_stem = None  # stem conv runs cell-packed (no per-point k=5 map)
+            kmap_cpe0 = derive_kernel_map(
+                parent, point.valid, SparseConvSpec.cube(self.cpe_kernel_size)
             )
         else:
             index0 = build_voxel_index(
@@ -475,7 +474,13 @@ class PointTransformerV3(nn.Module):
             (len(spec_stem.offsets), self.in_channels, self.enc_channels[0]),
             jnp.float32,
         )
-        feat = sparse_conv(point.feat, kmap_stem, w)
+        if kmap_stem is None:
+            # k=5 stem via the coarse-cell contraction: 27 gathered rows/point
+            # instead of 125 (ops/sparse.cell_packed_conv; exact-equal to the
+            # derived-map conv, tested)
+            feat = cell_packed_conv(point.feat, parent, point.valid, w, spec_stem)
+        else:
+            feat = sparse_conv(point.feat, kmap_stem, w)
         if M > 0:
             from .point_prompt_training import PDNorm
 

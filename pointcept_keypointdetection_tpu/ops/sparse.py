@@ -370,6 +370,78 @@ def derive_kernel_map(
     return KernelMap(neighbor_idx=neighbor)
 
 
+def cell_packed_conv(
+    feat: jnp.ndarray,  # [N, Cin]
+    parent: ParentCellIndex,
+    valid: jnp.ndarray,  # bool[N]
+    weight: jnp.ndarray,  # [K, Cin, Cout] in spec.offsets (canonical cube) order
+    spec: SparseConvSpec,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Submanifold conv computed at the coarse-cell level (large kernels).
+
+    The direct path (``derive_kernel_map`` + ``sparse_conv``) gathers K rows
+    per point — 125 at k=5 — and on gather-row-bound backends the im2col
+    dominates the forward.  This path gathers each point's 27 neighbor CELLS
+    (rows of ``nsub*Cin``) from a cell-feature table instead — K/27x fewer
+    gathered rows — and moves the offset selection into an MXU contraction
+    with a parity-expanded weight:
+
+        out[i] = sum_{j<27, s<nsub} table[cell_nbr(i, j), s] . W'[parity_i, j, s]
+
+    where ``W'[p, j, s] = weight[d]`` for the fine offset
+    ``d = cell_offset(j) * side + sub(s) - sub(p)`` (zero outside the kernel).
+    Exact same semantics as the derived-map conv (property-tested); the
+    redundant FLOPs (nsub x) ride the MXU.  Replaces spconv's k=5 stem
+    (`point_transformer_v3m1_base.py:485-515`) at the reference workload.
+    """
+    n, cin = feat.shape
+    k_total, _, cout = weight.shape
+    shift = parent.shift
+    side = 1 << shift
+    nsub = side**3
+    offs = np.asarray(spec.offsets, np.int32)
+    r = int(np.abs(offs).max())
+    assert r <= side, (r, side)
+    assert k_total == offs.shape[0]
+
+    # static (parity, cell column, subpos) -> kernel-offset slot (or K = zero)
+    ps = np.stack(
+        np.meshgrid(np.arange(side), np.arange(side), np.arange(side), indexing="ij"), -1
+    ).reshape(nsub, 3)
+    cj = np.stack(
+        np.meshgrid([-1, 0, 1], [-1, 0, 1], [-1, 0, 1], indexing="ij"), -1
+    ).reshape(27, 3)
+    d = cj[None, :, None, :] * side + ps[None, None, :, :] - ps[:, None, None, :]  # [p, j, s, 3]
+    in_range = np.all(np.abs(d) <= r, axis=-1)
+    kdim = 2 * r + 1
+    slot = ((d[..., 0] + r) * kdim + (d[..., 1] + r)) * kdim + (d[..., 2] + r)
+    slot = np.where(in_range, slot, k_total).astype(np.int32)  # [nsub, 27, nsub]
+
+    weight = weight.astype(feat.dtype)
+    weight_pad = jnp.concatenate([weight, jnp.zeros((1, cin, cout), weight.dtype)], axis=0)
+    w_exp = jnp.take(weight_pad, jnp.asarray(slot.reshape(nsub, -1)), axis=0)  # [p, 27*nsub, Cin, Cout]
+
+    # cell feature table: [(n+1) * nsub] rows; invalid/missing -> zero row
+    feat_pad = jnp.concatenate(
+        [jnp.where(valid[:, None], feat, 0), jnp.zeros((1, cin), feat.dtype)], axis=0
+    )
+    table = jnp.take(feat_pad, parent.cell_table, axis=0)  # [n+1, nsub, Cin]
+    nbr = jnp.take(parent.cell_kmap, jnp.minimum(parent.cell_of, n - 1), axis=0)  # [N, 27]
+    nbr = jnp.where(valid[:, None] & (parent.cell_of[:, None] < n), nbr, n)
+    gathered = jnp.take(table.reshape(n + 1, nsub * cin), nbr, axis=0)  # [N, 27, nsub*Cin]
+    gathered = gathered.reshape(n, 27 * nsub, cin)
+
+    out_all = jnp.einsum(
+        "nkc,pkcd->npd", gathered, w_exp, preferred_element_type=jnp.float32
+    )  # [N, nsub, Cout]
+    out = jnp.take_along_axis(out_all, parent.parity[:, None, None], axis=1)[:, 0]
+    out = out.astype(feat.dtype)
+    if bias is not None:
+        out = out + bias.astype(feat.dtype)
+    return out
+
+
 def _hash_mix(hi: jnp.ndarray, lo: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two independent u32 hashes of a (hi, lo) code (murmur-style finalizers)."""
     h = lo * jnp.uint32(0x9E3779B1) ^ hi * jnp.uint32(0x85EBCA6B)

@@ -270,6 +270,43 @@ def test_parent_derived_kernel_map_matches_direct(rng):
         )
 
 
+def test_cell_packed_conv_matches_derived_map_conv(rng):
+    """cell_packed_conv (27-cell gather + parity-expanded MXU contraction)
+    must equal sparse_conv over the derived per-point kernel map exactly —
+    same active-site semantics, missing neighbors zero, invalid rows zero."""
+    from pointcept_keypointdetection_tpu.ops.sparse import (
+        build_parent_index,
+        cell_packed_conv,
+        derive_kernel_map,
+        sparse_conv,
+    )
+
+    n = 2048
+    coords = rng.integers(0, 23, (n, 3)).astype(np.int32)
+    batch = np.sort(rng.integers(0, 2, n)).astype(np.int32)
+    valid = rng.random(n) > 0.15
+    _, first = np.unique(
+        batch.astype(np.int64) * 10**9 + coords[:, 0] * 10**6 + coords[:, 1] * 10**3 + coords[:, 2],
+        return_index=True,
+    )
+    keep = np.zeros(n, bool)
+    keep[first] = True
+    valid &= keep
+    g, b, v = jnp.asarray(coords), jnp.asarray(batch), jnp.asarray(valid)
+    parent = build_parent_index(g, b, v, shift=1)
+    feat = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    for ksz in (3, 5):
+        spec = SparseConvSpec.cube(ksz)
+        w = jnp.asarray(rng.normal(size=(len(spec.offsets), 6, 8)).astype(np.float32) * 0.1)
+        bias = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+        kmap = derive_kernel_map(parent, v, spec)
+        ref = sparse_conv(jnp.where(v[:, None], feat, 0), kmap, w, bias)
+        out = cell_packed_conv(feat, parent, v, w, spec, bias)
+        np.testing.assert_allclose(
+            np.asarray(out)[np.asarray(v)], np.asarray(ref)[np.asarray(v)], rtol=2e-4, atol=2e-4
+        )
+
+
 def test_kernel_map_single_lane_matches(rng):
     """Compact (one-u32-key) joins must equal the two-lane build when the
     code bits fit: depth 9 grids, multi-batch, k=3 and k=5, parent-derived."""

@@ -455,9 +455,21 @@ class PointTransformerV3(nn.Module):
                 precomputed_perm=reuse_perm(point),
             )
             kmap_stem = None  # stem conv runs cell-packed (no per-point k=5 map)
-            kmap_cpe0 = derive_kernel_map(
-                parent, point.valid, SparseConvSpec.cube(self.cpe_kernel_size)
-            )
+            if self.cpe_kernel_size <= 3:
+                # direct single-lane join beats deriving through the cell
+                # tables for k=3 (3 fewer [N,27]-row gathers)
+                idx0 = build_voxel_index(
+                    point.grid_coord, batch, point.valid, kd, single_lane=sl,
+                    precomputed_perm=reuse_perm(point),
+                )
+                kmap_cpe0 = build_kernel_map(
+                    idx0, point.grid_coord, batch, point.valid,
+                    SparseConvSpec.cube(self.cpe_kernel_size), kd, single_lane=sl,
+                )
+            else:
+                kmap_cpe0 = derive_kernel_map(
+                    parent, point.valid, SparseConvSpec.cube(self.cpe_kernel_size)
+                )
         else:
             index0 = build_voxel_index(
                 point.grid_coord, batch, point.valid, kd, single_lane=sl,

@@ -4,11 +4,12 @@
 # pose graph.  GT-label dynamic filtering = the reference's upper-bound
 # experiment (`SemanticFAST-LIO2-prediction/fusion_gt_clean_bag.py`).
 #
-#   python tools/make_synthetic_kitti.py --out /tmp/synth_loop --frames 520 --loop
+#   python tools/make_synthetic_kitti.py --out /tmp/synth_loop3 --frames 175 --loop \
+#       --straight 40 --radius 16 --step 1.2 --n-cars 8
 #   python tools/run_slam.py --config-file configs/slam/synth_loop.py
 #   # no-filter ablation: --options semantic.enabled=False
 
-data_root = "/tmp/synth_loop"
+data_root = "/tmp/synth_loop3"
 sequence = "00"
 max_frames = None
 
@@ -18,19 +19,27 @@ semantic = dict(
     dynamic_classes=(0,),  # train-id 0 = car (see semantic_kitti learning map)
 )
 
+# densities/gates validated by fusion-health probes (PERF.md round-3 SLAM
+# section): street-regime voxels (plane fits need neighbor spacing ~0.35 m),
+# scan capacity sized to the FULL downsampled scan (a 43% subsample starved
+# the 5-NN plane fits and silently blocked map fusion), sliding 25 m map
+# horizon (the circuit world exceeds any full-map capacity), and gates
+# matched to this world's residual floor (~0.08-0.13 near arc interiors).
 odometry = dict(
-    scan_capacity=16384,
-    map_capacity=262144,
-    scan_voxel=0.5,
-    map_voxel=0.4,
-    icp_iters=8,
+    scan_capacity=24576,
+    map_capacity=196608,
+    scan_voxel=0.4,
+    map_voxel=0.35,
+    icp_iters=6,
     knn_k=5,
     max_corr_dist=1.0,
     huber_delta=0.3,
     min_planarity=0.6,
-    map_radius=120.0,
+    map_radius=25.0,
     min_range=2.5,
-    max_range=80.0,
+    max_range=60.0,
+    insert_rmse_gate=0.25,
+    min_inlier_frac=0.15,
 )
 
 save_path = "exp/slam/synth_loop"

@@ -184,6 +184,10 @@ class LidarOdometry:
         )
         self._R_prev, self._t_prev = self._R, self._t
         self._R, self._t = R, t
+        # diagnostics: registration health of the last processed scan
+        self.last_rmse = float(rmse)
+        self.last_inliers = int(inliers)
+        self.last_scan_points = int(valid.sum())
         self._frame += 1
         pose = np.eye(4, dtype=np.float64)
         pose[:3, :3] = np.asarray(R)

@@ -289,20 +289,21 @@ def main():
     ap.add_argument("--noise", type=float, default=0.02)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--loop", action="store_true", help="closed stadium circuit (drift/back-end experiments)")
+    ap.add_argument("--step", type=float, default=0.6, help="sensor travel per frame (m)")
     ap.add_argument("--straight", type=float, default=80.0, help="loop straight length (m)")
     ap.add_argument("--radius", type=float, default=25.0, help="loop arc radius (m)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
-    length = args.frames * 0.6 + 20
+    length = args.frames * args.step + 20
     if args.loop:
-        poses = trajectory_loop(args.frames, straight=args.straight, radius=args.radius)
+        poses = trajectory_loop(args.frames, step=args.step, straight=args.straight, radius=args.radius)
         world, world_lbl = build_world_loop(rng, poses)
         car_trk, car_geom = car_tracks_loop(rng, args.n_cars, poses)
         cars = None
     else:
         world, world_lbl = build_world(rng, length=length)
-        poses = trajectory(args.frames)
+        poses = trajectory(args.frames, step=args.step)
         cars = car_tracks(rng, args.n_cars, args.frames, length)
 
     seq_dir = os.path.join(args.out, "dataset", "sequences", args.seq)

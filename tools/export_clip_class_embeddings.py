@@ -48,11 +48,16 @@ def encode_class_names(checkpoint, class_names, template="[x]", normalize=False)
         # truncation: CLIP's text tower has a fixed 77-token context; an
         # over-long prompt would otherwise crash in the position embeddings
         # (reference clip.tokenize enforces the same cap)
+        max_len = getattr(tokenizer, "model_max_length", 77)
+        if not isinstance(max_len, int) or max_len > 10**6:
+            # unset tokenizers report a huge sentinel (int(1e30)) that
+            # overflows enable_truncation; fall back to CLIP's 77 context
+            max_len = 77
         tokens = tokenizer(
             prompts,
             padding=True,
             truncation=True,
-            max_length=getattr(tokenizer, "model_max_length", 77),
+            max_length=max_len,
             return_tensors="pt",
         )
         embeds = model(**tokens).text_embeds.float()

@@ -34,6 +34,14 @@ class SlamConfig:
     loop_min_inliers: int = 1500
     optimize_every: int = 10  # keyframes between pose-graph solves
     keyframe_scan_size: int = 4096  # stored downsampled scan per keyframe
+    # information weighting for loop edges: weight = clip((sigma / rmse)^2,
+    # max loop_weight_max).  A loop edge measured by keyframe-scan ICP with
+    # residual rmse >> the odometry's relative accuracy must NOT outvote the
+    # odometry chain (measured: a fixed 2.0 weight degraded a 0.027 m ATE
+    # trajectory to 0.078 m by pulling it toward ~0.1 m-noise loop edges);
+    # with 1/sigma^2 weighting the solver trusts each edge proportionally.
+    loop_weight_sigma: float = 0.02
+    loop_weight_max: float = 2.0
 
 
 class SemanticSLAM:
@@ -130,7 +138,11 @@ class SemanticSLAM:
         t_k2 = np.asarray(res.t)
         Z_R = Ri @ R_k
         Z_t = Ri @ t_k2 + ti
-        self.edges.append((j, k, Z_R, Z_t, 2.0))
+        rmse = float(res.rmse)
+        weight = min(
+            (cfg.loop_weight_sigma / max(rmse, 1e-4)) ** 2, cfg.loop_weight_max
+        )
+        self.edges.append((j, k, Z_R, Z_t, weight))
         self._loop_count += 1
 
     # -- pose graph solve ------------------------------------------------

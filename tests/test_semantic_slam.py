@@ -121,10 +121,47 @@ def test_loop_closure_reduces_drift(rng):
     slam._try_loop_closure(K - 1)
     assert len(slam.edges) == n_edges + 1, "loop closure not detected/verified"
     j, k_, _, Z_t, w = slam.edges[-1][0], slam.edges[-1][1], *slam.edges[-1][2:]
-    assert k_ - j >= cfg.loop_min_gap and w == 2.0
+    assert k_ - j >= cfg.loop_min_gap and w > 1.0  # clean scans -> high information
     slam._optimize_graph()
     ate_after, _ = absolute_trajectory_error(np.stack(slam.kf_t), gt, align=False)
     assert ate_after < ate_before * 0.5, (ate_before, ate_after)
+
+
+def test_noisy_loop_edge_cannot_degrade_consistent_chain():
+    """Prior-anchored solve: a CONSISTENT keyframe chain (zero-residual
+    odometry edges) plus one noisy low-weight loop edge must stay put —
+    without priors the chain slides along its gauge valley toward the loop
+    edge (measured 0.027 -> 0.085 m ATE on the circuit run)."""
+    import jax.numpy as jnp
+
+    from pointcept_keypointdetection_tpu.slam.pose_graph import PoseGraph, optimize
+
+    K = 24
+    t = np.stack([np.linspace(0, 11.5, K), np.zeros(K), np.zeros(K)], 1).astype(np.float32)
+    R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+    ei = np.arange(K - 1, dtype=np.int32)
+    ej = ei + 1
+    Z_R = np.tile(np.eye(3, dtype=np.float32), (K - 1, 1, 1))
+    Z_t = t[1:] - t[:-1]
+    w = np.ones(K - 1, np.float32)
+    # noisy loop edge 0 -> K-1 (off by 30 cm), information-weighted low
+    ei = np.append(ei, 0).astype(np.int32)
+    ej = np.append(ej, K - 1).astype(np.int32)
+    Z_R = np.concatenate([Z_R, np.eye(3, dtype=np.float32)[None]])
+    Z_t = np.concatenate([Z_t, (t[-1] - t[0] + [0.3, 0.2, 0.0])[None]])
+    w = np.append(w, 0.04).astype(np.float32)
+
+    graph = PoseGraph(
+        R=jnp.asarray(R), t=jnp.asarray(t), node_valid=jnp.ones(K, bool),
+        edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+        Z_R=jnp.asarray(Z_R), Z_t=jnp.asarray(Z_t), edge_weight=jnp.asarray(w),
+    )
+    out_anchored = optimize(graph, iters=6, prior_weight=0.2)
+    move = np.linalg.norm(np.asarray(out_anchored.t) - t, axis=1).max()
+    assert move < 0.02, move
+    out_free = optimize(graph, iters=6, prior_weight=0.0)
+    move_free = np.linalg.norm(np.asarray(out_free.t) - t, axis=1).max()
+    assert move_free > move  # priors strictly reduce the slide
 
 
 def test_final_trajectory_retro_correction(rng):

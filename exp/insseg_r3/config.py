@@ -1,6 +1,6 @@
 seed = 7
 save_path = 'exp/insseg_r3'
-weight = 'exp/insseg_r3/model/model_best.ckpt'
+weight = 'exp/insseg_r3/model_params.ckpt'
 resume = False
 evaluate = True
 amp = None

@@ -16,6 +16,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import se3
 
@@ -61,10 +62,19 @@ def optimize(
     chain free to slide along its gauge valley toward noisy loop edges —
     measured: a 0.027 m-ATE trajectory degraded to 0.085 m from 4 loop
     edges even at 0.04 weight.  Priors make a loop edge move the chain only
-    in proportion to its information against the odometry's."""
+    in proportion to its information against the odometry's.
+
+    ``prior_weight`` may be a scalar (same weight on every node) or a
+    per-node [K] vector — SemanticSLAM fades the prior on nodes spanned by
+    high-information loop closures (a verified loop is direct evidence the
+    absolute odometry poses inside its span drifted)."""
     K = graph.R.shape[0]
     R_prior = graph.R
     t_prior = graph.t
+    prior_w = jnp.broadcast_to(jnp.asarray(prior_weight, jnp.float32), (K,))
+    use_prior = bool(np.any(np.asarray(prior_weight) > 0)) if not isinstance(
+        prior_weight, jnp.ndarray
+    ) else True
 
     def gn_iter(_, g: PoseGraph) -> PoseGraph:
         r = residuals(g)  # [E, 6]
@@ -101,7 +111,7 @@ def optimize(
         b = b.at[g.edge_i].add(-jnp.einsum("eab,ea->eb", Ji, r * g.edge_weight[:, None]))
         b = b.at[g.edge_j].add(-jnp.einsum("eab,ea->eb", Jj, r * g.edge_weight[:, None]))
 
-        if prior_weight > 0.0:
+        if use_prior:
             # prior residual per node: log(T_prior^-1 T) (right-perturbation
             # Jacobian ~ identity to first order)
             w_prior = se3.so3_log(
@@ -109,15 +119,22 @@ def optimize(
             )
             v_prior = jnp.einsum("kij,ki->kj", R_prior, g.t - t_prior)
             r_prior = jnp.concatenate([w_prior, v_prior], axis=-1)  # [K, 6]
-            H = H + prior_weight * jnp.eye(6)[None, None] * jnp.eye(K)[:, :, None, None]
-            b = b - prior_weight * r_prior
+            H = H + prior_w[:, None, None, None] * (
+                jnp.eye(6)[None, None] * jnp.eye(K)[:, :, None, None]
+            )
+            b = b - prior_w[:, None] * r_prior
 
+        # gauge fixing by ELIMINATION: anchor node 0 (and clamp invalid
+        # nodes) by zeroing their rows/columns and setting a unit diagonal —
+        # a 1e8 diagonal boost pushes H's condition number to ~1e8, at the
+        # edge of f32 linalg.solve precision (observed: spurious ~2 cm node
+        # moves on a zero-residual chain)
+        anchor = jnp.zeros((K,), bool).at[0].set(fix_first) | ~graph.node_valid
+        free = jnp.repeat(~anchor, 6).astype(H.dtype)  # [K*6]
         H = H.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
         b = b.reshape(K * 6)
-        # gauge fixing: anchor node 0 (and clamp invalid nodes)
-        anchor = jnp.zeros((K,), bool).at[0].set(fix_first) | ~graph.node_valid
-        diag_boost = jnp.repeat(anchor.astype(jnp.float32), 6) * 1e8
-        H = H + jnp.diag(diag_boost + damping)
+        H = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free + damping)
+        b = b * free
         delta = jnp.linalg.solve(H, b).reshape(K, 6)
         delta = jnp.where(anchor[:, None], 0.0, delta)
 

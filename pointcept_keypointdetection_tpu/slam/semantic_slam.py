@@ -45,7 +45,13 @@ class SlamConfig:
     # per-node Tikhonov prior toward the odometry poses (see
     # pose_graph.optimize): scan-to-map odometry constrains absolutes, the
     # graph's odometry edges only relatives — without priors noisy loop
-    # edges slide the whole chain (measured 0.027 -> 0.085 m ATE)
+    # edges slide the whole chain (measured 0.027 -> 0.085 m ATE).  The
+    # prior on nodes SPANNED by a verified loop edge is faded by
+    # 1/(1 + sum of spanning loop-edge information weights): a
+    # high-information closure (clean ICP, weight >> 1) is direct evidence
+    # the absolute odometry poses inside its span drifted, so the prior
+    # must not pin them; a low-information closure (rmse >> sigma, weight
+    # ~0.04) leaves the prior intact and cannot degrade a good trajectory.
     graph_prior_weight: float = 0.2
 
 
@@ -164,7 +170,18 @@ class SemanticSLAM:
             Z_t=jnp.asarray(np.stack([e[3] for e in self.edges]), jnp.float32),
             edge_weight=jnp.asarray([e[4] for e in self.edges], jnp.float32),
         )
-        out = optimize(graph, iters=6, prior_weight=self.cfg.graph_prior_weight)
+        # fade the odometry prior inside verified loop spans (see SlamConfig):
+        # the fade scale is the prior weight itself — a loop closure whose
+        # information rivals even ONE node's prior contradicts the whole
+        # absolute chain inside its span, so it must win there
+        pw = self.cfg.graph_prior_weight
+        loop_info = np.zeros(K, np.float32)
+        for i, j, _, _, w in self.edges:
+            if abs(j - i) > 1:  # loop edge (non-sequential)
+                lo, hi = min(i, j), max(i, j)
+                loop_info[lo + 1 : hi + 1] += w
+        prior_w = pw / (1.0 + loop_info / max(pw, 1e-6))
+        out = optimize(graph, iters=6, prior_weight=jnp.asarray(prior_w))
         new_R = np.asarray(out.R)
         new_t = np.asarray(out.t)
         # propagate the last keyframe's correction to the live odometry pose
@@ -222,6 +239,19 @@ class SemanticSLAM:
             T_kf[:3, 3] = self.kf_t[k]
             out.append(T_kf @ T_rel)
         return np.stack(out) if out else np.zeros((0, 4, 4))
+
+    @property
+    def loop_count(self) -> int:
+        """Number of ICP-verified loop-closure edges added to the graph."""
+        return self._loop_count
+
+    @property
+    def keyframe_count(self) -> int:
+        return len(self.kf_R)
+
+    @property
+    def edge_count(self) -> int:
+        return len(self.edges)
 
     @property
     def positions(self) -> np.ndarray:

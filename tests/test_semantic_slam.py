@@ -158,10 +158,14 @@ def test_noisy_loop_edge_cannot_degrade_consistent_chain():
     )
     out_anchored = optimize(graph, iters=6, prior_weight=0.2)
     move = np.linalg.norm(np.asarray(out_anchored.t) - t, axis=1).max()
-    assert move < 0.02, move
+    # the exact LS solution moves the end node w/(w + prior + chain coupling)
+    # of the 0.36 m loop residual ~= 0.026 m, decaying exponentially into the
+    # chain (length scale ~ 1/sqrt(prior)); bound it at 1.5x that compromise
+    # (upper bound w/(w+prior)*|r| = 0.060; free solve measures 0.238)
+    assert move < 0.04, move
     out_free = optimize(graph, iters=6, prior_weight=0.0)
     move_free = np.linalg.norm(np.asarray(out_free.t) - t, axis=1).max()
-    assert move_free > move  # priors strictly reduce the slide
+    assert move_free > 4 * move  # priors cut the slide by a large factor
 
 
 def test_final_trajectory_retro_correction(rng):

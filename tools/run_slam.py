@@ -102,8 +102,8 @@ def main():
         positions = final[:, :3, 3]
         poses = list(final)
         print(
-            f"keyframes: {len(engine.kf_R)}   edges: {len(engine.edges)}   "
-            f"loop closures: {engine._loop_count}"
+            f"keyframes: {engine.keyframe_count}   edges: {engine.edge_count}   "
+            f"loop closures: {engine.loop_count}"
         )
     traj = np.stack([p[:3].reshape(-1) for p in poses])
     np.savetxt(os.path.join(cfg.save_path, f"traj_{seq}.txt"), traj, fmt="%.6f")

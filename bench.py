@@ -136,6 +136,9 @@ def _run_bench():
         # item 1); the round-1 "payload not byte-stable" cache concern was
         # disproven in round 2 (PERF.md)
         attn_impl=os.environ.get("PKT_BENCH_ATTN", "pallas"),
+        kmap_mode=os.environ.get("PKT_BENCH_KMAP", "direct"),
+        chain_cpe0=os.environ.get("PKT_BENCH_CPE0", "direct"),
+        stem_conv=os.environ.get("PKT_BENCH_STEMCONV", "cell_packed"),
     )
     model = MODELS.build(dict(type="DefaultSegmentor", backbone=backbone, criteria=()))
     point = PointBatch(

@@ -38,8 +38,10 @@ from ..ops.sparse import (
     build_parent_index,
     build_voxel_index,
     cell_packed_conv,
+    cell_select_conv,
     derive_kernel_map,
     kmap_single_lane,
+    pooled_kernel_map,
     sparse_conv,
 )
 from ..ops.voxelize import slotted_unique
@@ -288,12 +290,15 @@ class SerializedPooling(nn.Module):
     pdnorm_conditions: int = 0
 
     @nn.compact
-    def __call__(self, point: PointBatch, slot_capacity: int, orders, shuffle_key, train: bool, cond_sample=None):
+    def __call__(self, point: PointBatch, slot_capacity: int, orders, shuffle_key, train: bool, cond_sample=None, precomputed_perm=None):
         pd = max((self.stride - 1).bit_length(), 1)  # stride 2 -> 1 level
         parent_grid = point.grid_coord >> pd
         batch = point.batch
         code = code_or_batch(z_order_encode(parent_grid, _DEPTH), batch, _DEPTH)
-        su = slotted_unique(code, point.valid, batch, point.num_samples, slot_capacity)
+        su = slotted_unique(
+            code, point.valid, batch, point.num_samples, slot_capacity,
+            precomputed_perm=precomputed_perm,
+        )
         m = point.num_samples * slot_capacity
 
         feat = nn.Dense(self.out_channels, dtype=point.feat.dtype, name="proj")(point.feat)
@@ -404,6 +409,31 @@ class PointTransformerV3(nn.Module):
     # 0.02 m: 400 < 1024 -> 10) can set this low; when 3*kmap_depth + batch
     # bits <= 31 every join sorts ONE u32 key instead of an (hi, lo) pair.
     kmap_depth: int = 16
+    # "chain": ONE sort-merge join per level — the shift-1 parent-cell join
+    # at level s IS level s+1's k=3 kernel map (stride-2 pooling clusters by
+    # grid>>1 = the parent cells), so pooled kmaps are derived by relabeling
+    # (ops/sparse.pooled_kernel_map) and the stage-0 xCPE map by subvoxel
+    # LUT gathers (derive_kernel_map).  "direct": a fresh join per stage
+    # (also used automatically when stride != 2 or kernels are too large for
+    # the shift-1 cell structure).  Chain eliminates ~4 joins' worth of sort
+    # work and is the right design for real TPU silicon, but the relayed
+    # bench chip double-charges the relabeling's fused gather chains and
+    # measures chain ~4% SLOWER end-to-end (PERF.md r4 A/B: 4.43 vs 4.62
+    # scenes/s) — so the default stays "direct" until measured on real
+    # hardware.
+    kmap_mode: str = "direct"
+    # stage-0 xCPE map source in chain mode: "derive" (subvoxel-LUT gathers
+    # through the parent cell tables, ~3 ms standalone) or "direct" (its own
+    # single-lane join, ~19 ms standalone but measured FASTER end-to-end in
+    # round 3 — the backend double-charges some fused gather chains)
+    chain_cpe0: str = "derive"
+    # large-kernel stem conv mechanism when no per-point stem map is built:
+    # "cell_select" (27-cell gather + MXU one-hot tap selection + one shared
+    # weight matmul; ~2x fewer FLOPs) or "cell_packed" (parity-expanded
+    # weight contraction) — see ops/sparse.{cell_select,cell_packed}_conv.
+    # Default "cell_packed": the relayed bench chip measures cell_select
+    # ~3% slower end-to-end despite the standalone FLOP win (PERF.md r4).
+    stem_conv: str = "cell_packed"
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool = False, condition=None):
@@ -443,15 +473,45 @@ class PointTransformerV3(nn.Module):
         # ---- embedding (stem SubMConv k=5 + BN + GELU) -------------------
         batch = point.batch
         spec_stem = SparseConvSpec.cube(self.stem_kernel)
+        # chain mode needs shift-1 cells (= the stride-2 pooled partition)
+        stem_r = max(self.stem_kernel, self.cpe_kernel_size) // 2
+        stem_shift = max((stem_r - 1).bit_length(), 1)
+        chain = (
+            self.kmap_mode == "chain"
+            and all(s == 2 for s in self.stride)
+            and self.cpe_kernel_size <= 3
+            and stem_shift == 1
+        )
+        parent = None
         kmap_cpe0 = None
-        if self.stem_kernel > 3 or self.cpe_kernel_size > 3:
+        if chain:
+            parent = build_parent_index(
+                point.grid_coord, batch, point.valid, 1, kd, single_lane=sl,
+                precomputed_perm=reuse_perm(point),
+            )
+            if self.chain_cpe0 == "derive":
+                kmap_cpe0 = derive_kernel_map(
+                    parent, point.valid, SparseConvSpec.cube(self.cpe_kernel_size)
+                )
+            else:
+                idx0 = build_voxel_index(
+                    point.grid_coord, batch, point.valid, kd, single_lane=sl,
+                    precomputed_perm=reuse_perm(point),
+                )
+                kmap_cpe0 = build_kernel_map(
+                    idx0, point.grid_coord, batch, point.valid,
+                    SparseConvSpec.cube(self.cpe_kernel_size), kd, single_lane=sl,
+                )
+            if self.stem_kernel > 3:
+                kmap_stem = None  # stem conv runs cell-packed (no k=5 map)
+            else:
+                kmap_stem = kmap_cpe0
+        elif self.stem_kernel > 3 or self.cpe_kernel_size > 3:
             # two-level build: one coarse k=3 join + subvoxel-table gathers
             # derives BOTH the k=5 stem map and the k=3 xCPE map (~4x cheaper
             # than the direct 62-offset join; see ops/sparse.ParentCellIndex)
-            r = max(self.stem_kernel, self.cpe_kernel_size) // 2
-            shift = max((r - 1).bit_length(), 1)
             parent = build_parent_index(
-                point.grid_coord, batch, point.valid, shift, kd, single_lane=sl,
+                point.grid_coord, batch, point.valid, stem_shift, kd, single_lane=sl,
                 precomputed_perm=reuse_perm(point),
             )
             kmap_stem = None  # stem conv runs cell-packed (no per-point k=5 map)
@@ -487,10 +547,10 @@ class PointTransformerV3(nn.Module):
             jnp.float32,
         )
         if kmap_stem is None:
-            # k=5 stem via the coarse-cell contraction: 27 gathered rows/point
-            # instead of 125 (ops/sparse.cell_packed_conv; exact-equal to the
-            # derived-map conv, tested)
-            feat = cell_packed_conv(point.feat, parent, point.valid, w, spec_stem)
+            # k=5 stem via the coarse-cell gather: 27 gathered rows/point
+            # instead of 125 (exact-equal to the derived-map conv, tested)
+            stem_fn = cell_select_conv if self.stem_conv == "cell_select" else cell_packed_conv
+            feat = stem_fn(point.feat, parent, point.valid, w, spec_stem)
         else:
             feat = sparse_conv(point.feat, kmap_stem, w)
         if M > 0:
@@ -515,6 +575,7 @@ class PointTransformerV3(nn.Module):
         kmaps = []  # per-level k=3 kernel maps, reused by the decoder (indice_key analogue)
         x = point
         for s in range(num_stages):
+            fine_valid = x.valid
             if s > 0:
                 cap = stage_cap(s)
                 skips.append(x)
@@ -527,11 +588,18 @@ class PointTransformerV3(nn.Module):
                     bn_momentum=self.bn_momentum,
                     pdnorm_conditions=M,
                     name=f"enc{s}_down",
-                )(x, cap, tuple(self.order), stage_key, train, cond_sample)
+                )(x, cap, tuple(self.order), stage_key, train, cond_sample,
+                  precomputed_perm=reuse_perm(skips[-1]))
                 sus.append(su)
             b = x.batch
             if s == 0 and kmap_cpe0 is not None:
                 kmap = kmap_cpe0
+            elif chain:
+                # the fine level's parent-cell join IS this pooled level's
+                # k=3 map — relabel instead of joining (see pooled_kernel_map)
+                kmap = pooled_kernel_map(
+                    parent, su.parent_row, su.head_row, fine_valid, x.valid
+                )
             else:
                 idx = build_voxel_index(
                     x.grid_coord, b, x.valid, kd, single_lane=sl,
@@ -540,6 +608,13 @@ class PointTransformerV3(nn.Module):
                 kmap = build_kernel_map(
                     idx, x.grid_coord, b, x.valid, SparseConvSpec.cube(self.cpe_kernel_size), kd,
                     single_lane=sl,
+                )
+            if chain and 0 < s < num_stages - 1:
+                # this level's cell join doubles as the next level's kmap
+                # (s=0's parent was already built for the stem/cpe0 maps)
+                parent = build_parent_index(
+                    x.grid_coord, b, x.valid, 1, kd, single_lane=sl,
+                    precomputed_perm=reuse_perm(x),
                 )
             kmaps.append(kmap)
             depth = self.enc_depths[s]

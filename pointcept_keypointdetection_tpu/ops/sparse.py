@@ -370,6 +370,45 @@ def derive_kernel_map(
     return KernelMap(neighbor_idx=neighbor)
 
 
+def pooled_kernel_map(
+    parent: ParentCellIndex,
+    parent_row: jnp.ndarray,  # int32[N] fine row -> pooled row (sentinel m)
+    head_row: jnp.ndarray,  # int32[M] pooled row -> fine head row (sentinel n)
+    fine_valid: jnp.ndarray,  # bool[N]
+    pooled_valid: jnp.ndarray,  # bool[M]
+) -> KernelMap:
+    """The POOLED level's k=3 kernel map, derived from the fine level's
+    parent-cell structure — no join at the pooled level at all.
+
+    Key fact: stride-2 pooling clusters by ``grid >> 1`` (SerializedPooling),
+    which is exactly the shift-1 parent CELL partition — so the coarse k=3
+    join computed by ``build_parent_index`` at the fine level (``cell_kmap``)
+    IS the pooled level's kernel map, up to the cell-id -> pooled-row
+    relabeling.  The relabeling costs one [N] scatter + two narrow gathers
+    (~2 ms @102k) where a fresh pooled-level join costs ~5 ms @25.6k; the
+    win compounds down the pyramid.  The analogue of spconv reusing
+    ``indice_key`` maps across strided stages.
+    """
+    n = parent.cell_of.shape[0]
+    m = head_row.shape[0]
+    # cell id -> pooled row: every valid fine row of a cell agrees on both
+    tgt = jnp.where(fine_valid, parent.cell_of, n)
+    pooled_of_cell = (
+        jnp.full((n + 1,), m, jnp.int32).at[tgt].set(parent_row.astype(jnp.int32), mode="drop")
+    )
+    # pooled row -> its cell id (via the head fine row)
+    head = jnp.minimum(head_row, n - 1)
+    cid = jnp.where(pooled_valid, jnp.take(parent.cell_of, head, axis=0), n)
+    nbr_cells = jnp.take(parent.cell_kmap, jnp.minimum(cid, n - 1), axis=0)  # [M, 27]
+    nbr_cells = jnp.where(pooled_valid[:, None] & (cid[:, None] < n), nbr_cells, n)
+    kmap = jnp.take(pooled_of_cell, jnp.minimum(nbr_cells, n), axis=0)
+    kmap = jnp.where(nbr_cells < n, kmap, m)
+    # materialize: as with derive_kernel_map, without the barrier XLA fuses
+    # the scatter+gather chain into every consumer conv and recomputes it
+    kmap = jax.lax.optimization_barrier(kmap.astype(jnp.int32))
+    return KernelMap(neighbor_idx=kmap)
+
+
 def cell_packed_conv(
     feat: jnp.ndarray,  # [N, Cin]
     parent: ParentCellIndex,
@@ -437,6 +476,78 @@ def cell_packed_conv(
     )  # [N, nsub, Cout]
     out = jnp.take_along_axis(out_all, parent.parity[:, None, None], axis=1)[:, 0]
     out = out.astype(feat.dtype)
+    if bias is not None:
+        out = out + bias.astype(feat.dtype)
+    return out
+
+
+def cell_select_conv(
+    feat: jnp.ndarray,  # [N, Cin]
+    parent: ParentCellIndex,
+    valid: jnp.ndarray,  # bool[N]
+    weight: jnp.ndarray,  # [K, Cin, Cout] in spec.offsets (canonical cube) order
+    spec: SparseConvSpec,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Cell-gathered submanifold conv with MXU one-hot offset selection.
+
+    Same 27-neighbor-cell gather as ``cell_packed_conv`` (K/27x fewer
+    gathered rows than per-point im2col), but instead of a parity-expanded
+    weight (nsub-x redundant FLOPs in the contraction), the K kernel taps
+    are SELECTED out of the 27*nsub gathered fine positions by a one-hot
+    matmul (selection LUT depends only on the point's parity), then one
+    shared [K*Cin, Cout] matmul applies the weight:
+
+        selected[n, k, :] = gathered[n, sel(parity_n, k), :]   (one-hot MXU)
+        out[n] = selected[n].reshape(K*Cin) @ W
+
+    Measured (@102k): a one-hot-matmul select is ~40x cheaper than
+    take_along_axis for this shape, and the two-step contraction does
+    K*27*nsub + K*Cin*Cout FLOPs/point vs cell_packed's 27*nsub*Cin*Cout*nsub.
+    Exact-equal to cell_packed_conv / the derived-map conv (tested).
+    """
+    n, cin = feat.shape
+    k_total, _, cout = weight.shape
+    shift = parent.shift
+    side = 1 << shift
+    nsub = side**3
+    offs = np.asarray(spec.offsets, np.int32)
+    r = int(np.abs(offs).max())
+    assert r <= side, (r, side)
+    assert k_total == offs.shape[0]
+
+    # static (parity, offset slot) -> flat fine position j*nsub + s in the
+    # gathered 27-cell block (same math as derive_kernel_map's LUTs)
+    ps = np.stack(
+        np.meshgrid(np.arange(side), np.arange(side), np.arange(side), indexing="ij"), -1
+    ).reshape(nsub, 3)
+    q = ps[:, None, :] + offs[None, :, :]  # [nsub, K, 3]
+    cj = q >> shift
+    s = q & (side - 1)
+    cell_col = ((cj[..., 0] + 1) * 3 + (cj[..., 1] + 1)) * 3 + (cj[..., 2] + 1)
+    sub_idx = (s[..., 0] * side + s[..., 1]) * side + s[..., 2]
+    sel = jnp.asarray((cell_col * nsub + sub_idx).astype(np.int32))  # [nsub, K]
+
+    # cell feature table + 27-neighbor-cell gather (as cell_packed_conv)
+    feat_pad = jnp.concatenate(
+        [jnp.where(valid[:, None], feat, 0), jnp.zeros((1, cin), feat.dtype)], axis=0
+    )
+    table = jnp.take(feat_pad, parent.cell_table, axis=0)  # [n+1, nsub, Cin]
+    nbr = jnp.take(parent.cell_kmap, jnp.minimum(parent.cell_of, n - 1), axis=0)
+    nbr = jnp.where(valid[:, None] & (parent.cell_of[:, None] < n), nbr, n)
+    gathered = jnp.take(table.reshape(n + 1, nsub * cin), nbr, axis=0)  # [N, 27, nsub*Cin]
+    gathered = gathered.reshape(n, 27 * nsub, cin)
+
+    oh = jax.nn.one_hot(jnp.take(sel, parent.parity, axis=0), 27 * nsub, dtype=feat.dtype)
+    selected = jnp.einsum(
+        "nkj,njc->nkc", oh, gathered, preferred_element_type=jnp.float32
+    ).astype(feat.dtype)
+    out = jax.lax.dot_general(
+        selected.reshape(n, k_total * cin),
+        weight.astype(feat.dtype).reshape(k_total * cin, cout),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(feat.dtype)
     if bias is not None:
         out = out + bias.astype(feat.dtype)
     return out
@@ -585,20 +696,24 @@ def _sortmerge_lookup(
         is_target = s_payload < n
         exclude_invalid = is_target & (s_lo != jnp.uint32(0xFFFFFFFF))
 
+        # 2-operand last-valid scan: the "is a target" flag is folded into
+        # the row's sign (row = -1 for queries/invalid targets) — one fewer
+        # scanned lane than the (flag, row, lo) formulation (~25% of the
+        # join's scan cost on the bench backend)
         def combine1(a, b):
-            fa, ra, la = a
-            fb, rb, lb = b
-            return (fa | fb, jnp.where(fb, rb, ra), jnp.where(fb, lb, la))
+            ra, la = a
+            rb, lb = b
+            keep_b = rb >= 0
+            return (jnp.where(keep_b, rb, ra), jnp.where(keep_b, lb, la))
 
-        _, run_row, run_lo = jax.lax.associative_scan(
+        run_row, run_lo = jax.lax.associative_scan(
             combine1,
-            (exclude_invalid, jnp.where(exclude_invalid, s_payload, -1), s_lo),
+            (jnp.where(exclude_invalid, s_payload, -1), s_lo),
         )
         hit = (run_lo == s_lo) & (~is_target) & (run_row >= 0)
         result_sorted = jnp.where(hit, run_row, n).astype(jnp.int32)
-        rows = jnp.full((nq,), n, jnp.int32)
         qid = jnp.where(is_target, nq, s_payload - n)
-        return rows.at[qid].set(result_sorted, mode="drop")
+        return _unscatter_by_sort(qid, result_sorted, nq)
 
     hi = jnp.concatenate([index.sorted_code.hi, qhi])
     order = jnp.lexsort((lo, hi))
@@ -629,9 +744,19 @@ def _sortmerge_lookup(
     hit = (run_hi == s_hi) & (run_lo == s_lo) & (~is_target) & (run_row >= 0)
     result_sorted = jnp.where(hit, run_row, n).astype(jnp.int32)
 
-    rows = jnp.full((nq,), n, jnp.int32)
     qid = jnp.where(is_target, nq, s_payload - n)
-    return rows.at[qid].set(result_sorted, mode="drop")
+    return _unscatter_by_sort(qid, result_sorted, nq)
+
+
+def _unscatter_by_sort(qid: jnp.ndarray, values: jnp.ndarray, nq: int) -> jnp.ndarray:
+    """values -> query order, without a scatter.
+
+    A [14N]-element scatter is 2.5x the cost of a (key, value) sort on this
+    backend (measured 5.8 vs 2.3 ms @1.4M); qid is a permutation of
+    [0, nq) plus sentinel-nq entries, so a stable sort by qid puts each
+    query's value at its own position and the sentinels at the tail."""
+    _, out = jax.lax.sort((qid, values), num_keys=1, is_stable=True)
+    return jax.lax.slice_in_dim(out, 0, nq)
 
 
 def _conv_apply(

@@ -66,6 +66,7 @@ def slotted_unique(
     batch: jnp.ndarray,
     num_samples: int,
     slot_capacity: int,
+    precomputed_perm=None,
 ) -> SlottedUniqueResult:
     """Unique codes compacted into ``num_samples`` slots of ``slot_capacity``.
 
@@ -74,6 +75,14 @@ def slotted_unique(
     ``[b*slot_capacity, ...)`` in ascending code order; per-sample overflow
     beyond ``slot_capacity`` is dropped (callers monitor ``num_unique``).
 
+    ``precomputed_perm``: a batch-major argsort of (a refinement of) the
+    codes — e.g. the serialization's z-order argsort when ``code`` is the
+    coarsened ``grid >> k`` (coarse z-codes are bit-prefixes of fine ones,
+    so fine order IS coarse order with stable ties).  The reused perm may
+    interleave invalid runs at batch boundaries instead of globally last;
+    head detection only needs equal-code runs contiguous and invalids
+    non-head, both of which hold.
+
     This is the engine under SerializedPooling
     (`point_transformer_v3m1_base.py:385-414`) and strided sparse conv.
     """
@@ -81,7 +90,7 @@ def slotted_unique(
 
     n = code.hi.shape[0]
     filled = code_fill_invalid(code, valid)
-    perm = code_lexsort(filled)
+    perm = precomputed_perm if precomputed_perm is not None else code_lexsort(filled)
     sorted_code = code_take(filled, perm)
     sorted_valid = jnp.take(valid, perm, axis=0)
     res = unique_sorted_with_capacity(sorted_code, sorted_valid, capacity=n)

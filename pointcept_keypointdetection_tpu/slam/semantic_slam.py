@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import se3
+from .frontend import DescriptorConfig, DescriptorIndex, relative_yaw, scan_descriptor
 from .pipeline import LidarOdometry, OdometryConfig
 from .pose_graph import PoseGraph, optimize
 from .registration import point_to_plane_icp
@@ -34,13 +35,27 @@ class SlamConfig:
     loop_min_inliers: int = 1500
     optimize_every: int = 10  # keyframes between pose-graph solves
     keyframe_scan_size: int = 4096  # stored downsampled scan per keyframe
+    # descriptor place recognition (slam/frontend.py): candidates proposed by
+    # keyframe-descriptor similarity IN ADDITION to pose proximity — the pose
+    # gate fails exactly when drift exceeds loop_max_dist, which is the
+    # drift-dominant regime the back-end exists for.  Descriptor candidates
+    # get a yaw-aligned at-the-matched-place ICP initial guess, so
+    # verification converges under arbitrary positional drift.
+    loop_descriptor: bool = True
+    loop_desc_topk: int = 2
+    loop_desc_min_sim: float = 0.75
+    loop_desc_corr_dist: float = 2.0  # ICP gate for descriptor candidates
     # information weighting for loop edges: weight = clip((sigma / rmse)^2,
     # max loop_weight_max).  A loop edge measured by keyframe-scan ICP with
     # residual rmse >> the odometry's relative accuracy must NOT outvote the
     # odometry chain (measured: a fixed 2.0 weight degraded a 0.027 m ATE
     # trajectory to 0.078 m by pulling it toward ~0.1 m-noise loop edges);
     # with 1/sigma^2 weighting the solver trusts each edge proportionally.
-    loop_weight_sigma: float = 0.02
+    # sigma calibrates "as trustworthy as one odometry edge": an ICP verify
+    # at rmse ~0.05 (clean revisit, keyframe-subsampled scans) should carry
+    # weight ~1; rmse ~0.1+ (smeared/partial overlap) decays to ~0.2 and,
+    # through the prior fade, leaves the odometry absolute priors standing.
+    loop_weight_sigma: float = 0.05
     loop_weight_max: float = 100.0
     # per-node Tikhonov prior toward the odometry poses (see
     # pose_graph.optimize): scan-to-map odometry constrains absolutes, the
@@ -69,6 +84,12 @@ class SemanticSLAM:
         self.edges: List[tuple] = []
         self._frame = 0
         self._corrections = np.eye(4)
+        # place-recognition frontend (descriptor per keyframe)
+        self.descriptor_index = DescriptorIndex()
+        self.descriptor_cfg = DescriptorConfig()
+        # optional learned embedding: scan [N, 3+] -> feature vector (e.g.
+        # pooled semseg backbone features; tools/run_slam.py wires this)
+        self.embed_fn = None
         # per-frame anchor for retro-correction: (keyframe index, T_rel)
         # where T_rel = kf_T_then^-1 @ frame_T, both expressed in the world
         # frame current at process time (so T_rel is locally drift-free);
@@ -86,11 +107,15 @@ class SemanticSLAM:
         angle = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
         return dt > self.cfg.keyframe_dist or angle > self.cfg.keyframe_angle
 
-    def _add_keyframe(self, R, t, scan, valid):
+    def _add_keyframe(self, R, t, scan, valid, labels=None):
         cfg = self.cfg
         if len(self.kf_R) >= cfg.max_keyframes:
             return
         k = len(self.kf_R)
+        if cfg.loop_closure and cfg.loop_descriptor:
+            emb = self.embed_fn(scan) if self.embed_fn is not None else None
+            desc, profile = scan_descriptor(scan, labels, emb, self.descriptor_cfg)
+            self.descriptor_index.add(desc, profile)
         if k > 0:
             Ri, ti = self.kf_R[-1].T, -self.kf_R[-1].T @ self.kf_t[-1]
             Z_R = Ri @ R
@@ -114,42 +139,68 @@ class SemanticSLAM:
             self._optimize_graph()
 
     # -- loop closure ----------------------------------------------------
-    def _try_loop_closure(self, k: int):
+    def _loop_candidates(self, k: int):
+        """(j, R0, t0, corr_dist) candidates: pose proximity with the
+        current-pose initial guess, plus descriptor place matches with a
+        yaw-aligned at-the-matched-place guess (drift-blind)."""
         cfg = self.cfg
         t_k = self.kf_t[k]
+        out = []
         best = None
         for j in range(0, k - cfg.loop_min_gap):
             d = np.linalg.norm(self.kf_t[j] - t_k)
             if d < cfg.loop_max_dist and (best is None or d < best[1]):
                 best = (j, d)
-        if best is None:
-            return
-        j = best[0]
-        # verify: register keyframe k's scan against keyframe j's scan (in j frame)
+        if best is not None:
+            out.append((best[0], self.kf_R[k], self.kf_t[k], 1.0))
+        if cfg.loop_descriptor and len(self.descriptor_index) > k:
+            matches = self.descriptor_index.query(
+                self.descriptor_index.descriptor(k),
+                max_index=k - cfg.loop_min_gap,
+                topk=cfg.loop_desc_topk,
+                min_sim=cfg.loop_desc_min_sim,
+            )
+            for j, _sim in matches:
+                if any(j == c[0] for c in out):
+                    continue
+                yaw = relative_yaw(
+                    self.descriptor_index.profile(k), self.descriptor_index.profile(j)
+                )
+                c, s = np.cos(yaw), np.sin(yaw)
+                Rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+                # "we are where the match was, rotated by the recovered yaw"
+                out.append((j, self.kf_R[j] @ Rz, self.kf_t[j], cfg.loop_desc_corr_dist))
+        return out
+
+    def _try_loop_closure(self, k: int):
+        cfg = self.cfg
         scan_k = self.kf_scan[k]
         valid_k = self.kf_scan_valid[k]
-        scan_j_world = self.kf_scan[j] @ self.kf_R[j].T + self.kf_t[j]
-        # initial guess: current relative pose
-        Ri, ti = self.kf_R[j].T, -self.kf_R[j].T @ self.kf_t[j]
-        R0 = self.kf_R[k]
-        t0 = self.kf_t[k]
-        res = point_to_plane_icp(
-            jnp.asarray(scan_k),
-            jnp.asarray(valid_k),
-            jnp.asarray(scan_j_world.astype(np.float32)),
-            jnp.asarray(self.kf_scan_valid[j]),
-            jnp.asarray(R0),
-            jnp.asarray(t0),
-            iters=10,
-            max_corr_dist=1.0,
-        )
-        if int(res.inliers) < cfg.loop_min_inliers:
+        best_edge = None
+        for j, R0, t0, corr in self._loop_candidates(k):
+            # verify: register keyframe k's scan against keyframe j's scan
+            scan_j_world = self.kf_scan[j] @ self.kf_R[j].T + self.kf_t[j]
+            res = point_to_plane_icp(
+                jnp.asarray(scan_k),
+                jnp.asarray(valid_k),
+                jnp.asarray(scan_j_world.astype(np.float32)),
+                jnp.asarray(self.kf_scan_valid[j]),
+                jnp.asarray(R0.astype(np.float32)),
+                jnp.asarray(t0.astype(np.float32)),
+                iters=10,
+                max_corr_dist=corr,
+            )
+            inl = int(res.inliers)
+            if inl < cfg.loop_min_inliers:
+                continue
+            if best_edge is None or inl > best_edge[0]:
+                best_edge = (inl, j, np.asarray(res.R), np.asarray(res.t), float(res.rmse))
+        if best_edge is None:
             return
-        R_k = np.asarray(res.R)
-        t_k2 = np.asarray(res.t)
+        _, j, R_k, t_k2, rmse = best_edge
+        Ri, ti = self.kf_R[j].T, -self.kf_R[j].T @ self.kf_t[j]
         Z_R = Ri @ R_k
         Z_t = Ri @ t_k2 + ti
-        rmse = float(res.rmse)
         weight = min(
             (cfg.loop_weight_sigma / max(rmse, 1e-4)) ** 2, cfg.loop_weight_max
         )
@@ -202,7 +253,7 @@ class SemanticSLAM:
         n_kf = len(self.kf_R)
         if self._is_keyframe(R, t):
             pts = scan[:, :3].astype(np.float32)
-            self._add_keyframe(R, t, pts, np.isfinite(pts).all(1))
+            self._add_keyframe(R, t, pts, np.isfinite(pts).all(1), labels)
         if len(self.kf_R) > n_kf:
             # anchor = identity on the new keyframe (its stored pose IS this
             # frame's pose; _add_keyframe may immediately optimize the graph,

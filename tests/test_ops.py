@@ -305,6 +305,12 @@ def test_cell_packed_conv_matches_derived_map_conv(rng):
         np.testing.assert_allclose(
             np.asarray(out)[np.asarray(v)], np.asarray(ref)[np.asarray(v)], rtol=2e-4, atol=2e-4
         )
+        from pointcept_keypointdetection_tpu.ops.sparse import cell_select_conv
+
+        out_sel = cell_select_conv(feat, parent, v, w, spec, bias)
+        np.testing.assert_allclose(
+            np.asarray(out_sel)[np.asarray(v)], np.asarray(ref)[np.asarray(v)], rtol=2e-4, atol=2e-4
+        )
 
 
 def test_kernel_map_single_lane_matches(rng):

@@ -318,3 +318,22 @@ def test_ptv3_rpe(rng):
         model.apply(dict(variables, params=shifted), point, train=False)
     )
     assert not np.allclose(feat, feat2)
+
+
+def test_kmap_chain_matches_direct(rng):
+    """kmap_mode="chain" (one join per level: parent-cell join relabeled into
+    the pooled kmap + derived stage-0 maps) must be numerically identical to
+    kmap_mode="direct" (a fresh sort-merge join per stage) — the maps are the
+    same index tables by construction (ops/sparse.pooled_kernel_map)."""
+    point = make_point_batch(rng)
+    outs = {}
+    for mode in ("direct", "chain"):
+        for stem in (3, 5):
+            model = MODELS.build(dict(BACKBONE, kmap_mode=mode, stem_kernel=stem))
+            variables = model.init({"params": jax.random.PRNGKey(0)}, point, train=False)
+            outs[(mode, stem)] = np.asarray(model.apply(variables, point, train=False))
+    for stem in (3, 5):
+        np.testing.assert_allclose(
+            outs[("chain", stem)], outs[("direct", stem)], atol=1e-5,
+            err_msg=f"stem={stem}",
+        )

@@ -1,0 +1,147 @@
+"""Keyframe place-recognition frontend: descriptors, yaw recovery, and
+drift-dominant loop closure (the regime where pose-gated candidates fail)."""
+
+import numpy as np
+
+from pointcept_keypointdetection_tpu.slam.frontend import (
+    DescriptorConfig,
+    DescriptorIndex,
+    relative_yaw,
+    scan_descriptor,
+)
+
+
+def _place(rng, seed_offset):
+    """A distinctive structured 'place': ground + walls at place-specific
+    ranges/heights."""
+    r = np.random.default_rng(seed_offset)
+    n = 4000
+    ground = np.stack(
+        [rng.uniform(-25, 25, n // 2), rng.uniform(-25, 25, n // 2), rng.normal(0, 0.02, n // 2)], 1
+    )
+    d1 = 5.0 + 3 * r.random()
+    d2 = 8.0 + 6 * r.random()
+    h1 = 2.0 + 3 * r.random()
+    w1 = np.stack(
+        [rng.uniform(-20, 20, n // 4), np.full(n // 4, d1) + rng.normal(0, 0.02, n // 4), rng.uniform(0, h1, n // 4)], 1
+    )
+    w2 = np.stack(
+        [np.full(n // 4, -d2) + rng.normal(0, 0.02, n // 4), rng.uniform(-20, 20, n // 4), rng.uniform(0, 5, n // 4)], 1
+    )
+    return np.concatenate([ground, w1, w2]).astype(np.float32)
+
+
+def _rotz(yaw):
+    c, s = np.cos(yaw), np.sin(yaw)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def test_descriptor_yaw_invariance_and_yaw_recovery(rng):
+    scan = _place(rng, 1)
+    yaw_true = 0.6
+    rotated = scan @ _rotz(yaw_true).T
+    d0, p0 = scan_descriptor(scan)
+    d1, p1 = scan_descriptor(rotated)
+    assert float(d0 @ d1) > 0.99  # descriptor is yaw-invariant
+    # a point at azimuth theta in `scan` appears at theta+yaw in `rotated`
+    yaw = relative_yaw(p0, p1)
+    assert abs(yaw - yaw_true) < 0.15, yaw
+
+
+def test_descriptor_discriminates_places(rng):
+    d_same1, _ = scan_descriptor(_place(rng, 1))
+    d_same2, _ = scan_descriptor(_place(rng, 1) + rng.normal(0, 0.05, (1, 3)).astype(np.float32))
+    d_other, _ = scan_descriptor(_place(rng, 7))
+    assert float(d_same1 @ d_same2) > 0.98
+    assert float(d_same1 @ d_other) < float(d_same1 @ d_same2) - 0.01
+
+
+def test_semantic_part_changes_descriptor(rng):
+    scan = _place(rng, 1)
+    lab_a = np.zeros(len(scan), np.int32)
+    lab_b = np.full(len(scan), 5, np.int32)
+    da, _ = scan_descriptor(scan, lab_a)
+    db, _ = scan_descriptor(scan, lab_b)
+    assert float(da @ db) < 0.95  # labels participate
+
+
+def test_embedding_part_participates(rng):
+    scan = _place(rng, 1)
+    da, _ = scan_descriptor(scan, embedding=np.array([1.0, 0.0, 0.0]))
+    db, _ = scan_descriptor(scan, embedding=np.array([0.0, 1.0, 0.0]))
+    assert float(da @ db) < 0.95
+
+
+def test_index_topk_gap(rng):
+    idx = DescriptorIndex()
+    for i in range(10):
+        d, p = scan_descriptor(_place(rng, i))
+        idx.add(d, p)
+    q, _ = scan_descriptor(_place(rng, 3) + rng.normal(0, 0.02, (1, 3)).astype(np.float32))
+    hits = idx.query(q, max_index=8, topk=1)
+    assert hits and hits[0][0] == 3
+
+
+def test_loop_closure_under_drift_beyond_pose_gate(rng):
+    """Drift LARGER than loop_max_dist: the pose gate proposes nothing, the
+    descriptor frontend still finds the revisit (yaw-aligned ICP verify) and
+    the prior-faded solve cuts ATE — the drift-dominant regime the back-end
+    exists for (VERDICT r3 item 3)."""
+    from pointcept_keypointdetection_tpu.slam.evaluate import absolute_trajectory_error
+    from pointcept_keypointdetection_tpu.slam.semantic_slam import SemanticSLAM, SlamConfig
+
+    world = _place(rng, 1) * 1.5
+    cfg = SlamConfig(
+        loop_min_gap=10, loop_max_dist=4.0, loop_min_inliers=200,
+        keyframe_scan_size=2048, loop_desc_min_sim=0.6,
+    )
+    slam = SemanticSLAM(cfg)
+
+    steps = (
+        [(0.5 * i, 0.0) for i in range(8)]
+        + [(3.5, 0.5 * i) for i in range(1, 8)]
+        + [(3.5 - 0.5 * i, 3.5) for i in range(1, 8)]
+        + [(0.0, 3.5 - 0.5 * i) for i in range(1, 8)]
+    )
+    gt = np.array([[x, y, 0.0] for x, y in steps], np.float32)
+    K = len(gt)
+    # drift of ~0.2 m/keyframe: final drift ~5.6 m > loop_max_dist 4.0
+    drift = np.cumsum(np.tile([0.15, 0.13, 0.0], (K, 1)), axis=0).astype(np.float32)
+    drift[0] = 0
+    est = gt + drift
+    assert np.linalg.norm(est[-1] - gt[0]) > cfg.loop_max_dist  # pose gate blind
+
+    for k in range(K):
+        scan = (world - gt[k]).astype(np.float32)
+        keep = np.linalg.norm(scan, axis=1) < 30
+        scan = scan[keep][: cfg.keyframe_scan_size]
+        stored = np.zeros((cfg.keyframe_scan_size, 3), np.float32)
+        sv = np.zeros(cfg.keyframe_scan_size, bool)
+        stored[: len(scan)] = scan
+        sv[: len(scan)] = True
+        d, p = scan_descriptor(scan, cfg=slam.descriptor_cfg)
+        slam.descriptor_index.add(d, p)
+        slam.kf_R.append(np.eye(3, dtype=np.float32))
+        slam.kf_t.append(est[k].copy())
+        slam.kf_scan.append(stored)
+        slam.kf_scan_valid.append(sv)
+        slam.kf_frame.append(k)
+        if k > 0:
+            slam.edges.append(
+                (k - 1, k, np.eye(3, dtype=np.float32), est[k] - est[k - 1], 1.0)
+            )
+
+    ate_before, _ = absolute_trajectory_error(np.stack(slam.kf_t), gt, align=False)
+    n_edges = len(slam.edges)
+    # the live engine tries a closure at EVERY new keyframe; the final
+    # revisit stretch yields several (each ICP-verified)
+    for k in (K - 3, K - 2, K - 1):
+        slam._try_loop_closure(k)
+    loops = [e for e in slam.edges[n_edges:]]
+    assert len(loops) >= 2, "descriptor frontend missed the revisit"
+    assert all(e[1] - e[0] >= cfg.loop_min_gap for e in loops)
+    # periodic solve + the final_trajectory solve (re-linearized)
+    slam._optimize_graph()
+    slam._optimize_graph()
+    ate_after, _ = absolute_trajectory_error(np.stack(slam.kf_t), gt, align=False)
+    assert ate_after < ate_before * 0.5, (ate_before, ate_after)

@@ -461,6 +461,113 @@ def main():
                 per, comp = timed(conv, (x, w))
                 print(f"subm conv k3 c={c} bf16 {path}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
 
+    if "cellconv3" in which:
+        # xCPE candidates at block channel widths: derived-map im2col conv vs
+        # the cell-packed contraction (8 gathered cell rows/point instead of
+        # 27 neighbor rows; 8x redundant MXU FLOPs)
+        from pointcept_keypointdetection_tpu.ops.sparse import (
+            build_parent_index,
+            cell_packed_conv,
+            derive_kernel_map,
+        )
+
+        parent_c = jax.jit(
+            lambda g, b, v: build_parent_index(g, b, v, 1, 10, single_lane=True)
+        )(grid, batch, valid)
+        parent_c = jax.tree_util.tree_map(jax.block_until_ready, parent_c)
+        parent_c = parent_c._replace(shift=1)
+        spec3 = SparseConvSpec.cube(3)
+        kmap3 = jax.jit(lambda v: derive_kernel_map(parent_c, v, spec3))(valid)
+        kmap3 = jax.tree_util.tree_map(jax.block_until_ready, kmap3)
+        for c in (32, 64):
+            x = jnp.asarray(rng.normal(size=(N, c)), jnp.bfloat16)
+            w = jnp.asarray(rng.normal(size=(27, c, c)) * 0.05, jnp.float32)
+
+            @jax.jit
+            def conv_map(x, w, salt):
+                y = x + salt.astype(x.dtype)
+                return jnp.sum(sparse_conv(y, kmap3, w).astype(jnp.float32))
+
+            @jax.jit
+            def conv_cell(x, w, salt):
+                y = x + salt.astype(x.dtype)
+                return jnp.sum(
+                    cell_packed_conv(y, parent_c, valid, w, spec3).astype(jnp.float32)
+                )
+
+            per, comp = timed(conv_map, (x, w))
+            print(f"xcpe conv k3 c={c} map-im2col: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+            per, comp = timed(conv_cell, (x, w))
+            print(f"xcpe conv k3 c={c} cell-packed: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+    if "stemconv" in which:
+        # the k=5 stem conv candidates at the honest bench shape (6 -> 32)
+        from pointcept_keypointdetection_tpu.ops.sparse import (
+            build_parent_index,
+            cell_packed_conv,
+            cell_select_conv,
+            derive_kernel_map,
+        )
+
+        parent_c = jax.jit(
+            lambda g, b, v: build_parent_index(g, b, v, 1, 10, single_lane=True)
+        )(grid, batch, valid)
+        parent_c = jax.tree_util.tree_map(jax.block_until_ready, parent_c)
+        parent_c = parent_c._replace(shift=1)
+        spec5 = SparseConvSpec.cube(5)
+        x = jnp.asarray(rng.normal(size=(N, 6)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(125, 6, 32)) * 0.05, jnp.float32)
+
+        @jax.jit
+        def conv_packed(x, w, salt):
+            y = x + salt.astype(x.dtype)
+            return jnp.sum(cell_packed_conv(y, parent_c, valid, w, spec5).astype(jnp.float32))
+
+        @jax.jit
+        def conv_sel(x, w, salt):
+            y = x + salt.astype(x.dtype)
+            return jnp.sum(cell_select_conv(y, parent_c, valid, w, spec5).astype(jnp.float32))
+
+        per, comp = timed(conv_packed, (x, w))
+        print(f"stem conv k5 6->32 cell-packed: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+        per, comp = timed(conv_sel, (x, w))
+        print(f"stem conv k5 6->32 cell-select: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
+    if "pbuildm" in which:
+        # parent build exactly as the model calls it at stage 0: single-lane
+        # depth-10 codes with the serialization argsort reused (no sort)
+        from pointcept_keypointdetection_tpu.ops.sparse import build_parent_index
+
+        iota = jnp.arange(N, dtype=jnp.int32)
+        code_sl = jax.jit(
+            lambda g: jax.lax.sort(
+                (jnp.asarray(
+                    (g[:, 0].astype(jnp.uint32) << 20)
+                    | (g[:, 1].astype(jnp.uint32) << 10)
+                    | g[:, 2].astype(jnp.uint32)
+                ), iota),
+                num_keys=1, is_stable=True,
+            )[1]
+        )
+        # stand-in serialization perm (any batch-major z argsort works)
+        from pointcept_keypointdetection_tpu.ops.serialization import z_order_encode
+        zc = jax.jit(lambda g: z_order_encode(g, 10))(grid)
+        perm = jax.jit(lambda lo: jax.lax.sort((lo, iota), num_keys=1, is_stable=True)[1])(zc.lo)
+        perm = jax.block_until_ready(perm)
+
+        @jax.jit
+        def pb(grid, batch, valid, perm, salt):
+            g = grid + salt.astype(jnp.int32) * 0
+            p = build_parent_index(g, batch, valid, 1, 10, single_lane=True, precomputed_perm=perm)
+            return (
+                jnp.sum(p.cell_kmap.astype(jnp.float32))
+                + jnp.sum(p.cell_of.astype(jnp.float32))
+                + jnp.sum(p.cell_table[:, 0].astype(jnp.float32))
+            )
+
+        per, comp = timed(pb, (grid, batch, valid, perm))
+        print(f"parent build model-shaped (reused perm, single-lane d10): {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -43,12 +43,9 @@ class ScanNetDataset(DefaultDataset):
 
     def get_data(self, idx):
         data_dict = super().get_data(idx)
-        if "segment20" in os.listdir(self.data_list[idx % len(self.data_list)]):
-            data_dict["segment"] = (
-                np.load(os.path.join(self.data_list[idx % len(self.data_list)], "segment20.npy"))
-                .reshape(-1)
-                .astype(np.int32)
-            )
+        seg20 = os.path.join(self.data_list[idx % len(self.data_list)], "segment20.npy")
+        if os.path.exists(seg20):
+            data_dict["segment"] = np.load(seg20).reshape(-1).astype(np.int32)
         if self.la:
             sampled_index = self.la[self.get_data_name(idx)]
             mask = np.ones_like(data_dict["segment"], bool)

@@ -95,10 +95,23 @@ class KPConvStem(nn.Module):
 
 
 class StratifiedAttention(nn.Module):
+    """Stratified window attention with LEARNED RELATIVE POSITION BIAS.
+
+    The RPE follows the reference's contextual relative-position kernels
+    (`libs/pointops2/src/rpe_v2/relative_pos_encoding_cuda_kernel_v2.cu`,
+    `dot_prod_with_idx`): per-axis quantized relative offsets index a
+    learned [3 * (2*bound+1), heads] table whose three per-axis entries sum
+    into the attention logits.  Here the quantized coordinate is the voxel
+    ``grid_coord`` (the reference quantizes xyz by ``quant_size`` — the same
+    lattice), and the bias rides the masked dense logits instead of a fused
+    CUDA gather."""
+
     channels: int
     num_heads: int
     patch_size: int  # dense window size K
     super_ratio: int = 4  # R patches per super-window
+    enable_rpe: bool = True
+    rpe_bound: int = 16  # per-axis clamp (quantized units)
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool):
@@ -134,6 +147,24 @@ class StratifiedAttention(nn.Module):
         kmask = jnp.concatenate([vmask, sp_mask_p], axis=1)  # [p, 2k]
 
         logits = jnp.einsum("phkd,phmd->phkm", q * (d**-0.5), keys, preferred_element_type=jnp.float32)
+        if self.enable_rpe:
+            bnd = self.rpe_bound
+            rpe_num = 2 * bnd + 1
+            table = self.param(
+                "rpe_table",
+                nn.initializers.truncated_normal(0.02),
+                (3 * rpe_num, h),
+                jnp.float32,
+            )
+            g_s = jnp.take(point.grid_coord, order, axis=0)  # [n, 3] quantized
+            g_q = g_s.reshape(p, k, 3)
+            g_sp = g_s.reshape(p2, r * k, 3)[:, ::r]
+            g_sp = jnp.repeat(g_sp, r, axis=0)[:p]  # [p, k, 3]
+            g_keys = jnp.concatenate([g_q, g_sp], axis=1)  # [p, 2k, 3]
+            rel = g_q[:, :, None, :] - g_keys[:, None, :, :]  # [p, k, 2k, 3]
+            idx = jnp.clip(rel, -bnd, bnd) + bnd + jnp.arange(3) * rpe_num
+            bias = jnp.take(table, idx, axis=0).sum(axis=-2)  # [p, k, 2k, h]
+            logits = logits + bias.transpose(0, 3, 1, 2)
         logits = jnp.where(kmask[:, None, None, :], logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1).astype(vals.dtype)
         out = jnp.einsum("phkm,phmd->phkd", attn, vals, preferred_element_type=jnp.float32)
@@ -149,13 +180,15 @@ class StratifiedBlock(nn.Module):
     super_ratio: int = 4
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    enable_rpe: bool = True
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool):
         shortcut = point.feat
         x = LayerNorm(self.channels, name="norm1")(point.feat)
         x = StratifiedAttention(
-            self.channels, self.num_heads, self.patch_size, self.super_ratio, name="attn"
+            self.channels, self.num_heads, self.patch_size, self.super_ratio,
+            enable_rpe=self.enable_rpe, name="attn"
         )(point.replace(feat=x), train)
         x = DropPath(self.drop_path, name="dp1")(x, point.num_samples, not train)
         feat = shortcut + x
@@ -184,6 +217,7 @@ class StratifiedTransformer(nn.Module):
     num_classes: int = 0
     stem: str = "kpconv"  # "kpconv" (reference) | "subm" (sparse-conv)
     kp_radius: float = 0.1  # KPConv stem neighborhood radius (m)
+    enable_rpe: bool = True  # learned relative-position bias (reference RPE)
 
     @nn.compact
     def __call__(self, point: PointBatch, train: bool = False):
@@ -213,6 +247,7 @@ class StratifiedTransformer(nn.Module):
                 x = StratifiedBlock(
                     self.channels[s], self.num_heads[s], self.patch_size, self.super_ratio,
                     drop_path=self.drop_path_rate * blk / max(total - 1, 1),
+                    enable_rpe=self.enable_rpe,
                     name=f"stage{s}_block{i}",
                 )(x, train)
                 blk += 1

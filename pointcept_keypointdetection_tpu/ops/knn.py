@@ -26,7 +26,7 @@ Two implementations:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -100,12 +100,39 @@ def _run_head_lookup(sorted_code, qhi, qlo, n):
     last-target scan; base entries precede queries so equal keys resolve to
     the base run), except the target payload is each entry's RUN-HEAD position
     rather than its voxel row — every member of an equal-code run carries the
-    run's first sorted position, so the scan hands queries the run start."""
-    nq = qhi.shape[0]
+    run's first sorted position, so the scan hands queries the run start.
+
+    ``qhi=None`` selects the single-lane path (codes proven to fit one u32):
+    one sort key and a 2-operand scan instead of two keys and four operands."""
+    nq = qlo.shape[0]
     # run heads within the sorted base codes
     iota = jnp.arange(n, dtype=jnp.int32)
-    prev_hi = jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, jnp.uint32), sorted_code.hi[:-1]])
     prev_lo = jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, jnp.uint32), sorted_code.lo[:-1]])
+    if qhi is None:
+        is_head = sorted_code.lo != prev_lo
+        head_pos = jax.lax.associative_scan(jnp.maximum, jnp.where(is_head, iota, -1))
+        lo = jnp.concatenate([sorted_code.lo, qlo])
+        payload = jnp.concatenate([head_pos, n + jnp.arange(nq, dtype=jnp.int32)])
+        s_lo, s_payload = jax.lax.sort((lo, payload), num_keys=1, is_stable=True)
+        is_target = s_payload < n
+        live = is_target & (s_lo != jnp.uint32(0xFFFFFFFF))
+
+        def combine1(a, b):
+            ra, la = a
+            rb, lb = b
+            keep_b = rb >= 0
+            return (jnp.where(keep_b, rb, ra), jnp.where(keep_b, lb, la))
+
+        run_pos, run_lo = jax.lax.associative_scan(
+            combine1, (jnp.where(live, s_payload, -1), s_lo)
+        )
+        hit = (run_lo == s_lo) & (~is_target) & (run_pos >= 0)
+        result_sorted = jnp.where(hit, run_pos, n).astype(jnp.int32)
+        qid = jnp.where(is_target, nq, s_payload - n)
+        _, out = jax.lax.sort((qid, result_sorted), num_keys=1, is_stable=True)
+        return jax.lax.slice_in_dim(out, 0, nq)
+
+    prev_hi = jnp.concatenate([jnp.full((1,), 0xFFFFFFFF, jnp.uint32), sorted_code.hi[:-1]])
     is_head = (sorted_code.hi != prev_hi) | (sorted_code.lo != prev_lo)
     # head position per sorted element: running max of head indices
     head_pos = jax.lax.associative_scan(jnp.maximum, jnp.where(is_head, iota, -1))
@@ -132,9 +159,206 @@ def _run_head_lookup(sorted_code, qhi, qlo, n):
     )
     hit = (run_hi == s_hi) & (run_lo == s_lo) & (~is_target) & (run_pos >= 0)
     result_sorted = jnp.where(hit, run_pos, n).astype(jnp.int32)
-    out = jnp.full((nq,), n, jnp.int32)
+    # unscatter-by-sort (2.5x cheaper than the [n+nq] scatter, see
+    # ops/sparse._unscatter_by_sort)
     qid = jnp.where(is_target, nq, s_payload - n)
-    return out.at[qid].set(result_sorted, mode="drop")
+    _, out = jax.lax.sort((qid, result_sorted), num_keys=1, is_stable=True)
+    return jax.lax.slice_in_dim(out, 0, nq)
+
+
+def small_top_k(neg_d: jnp.ndarray, k: int):
+    """Exact top-k by k argmax-extraction passes — for small k over wide
+    candidate rows, k linear reductions are far cheaper than lax.top_k's
+    sort-based lowering (the SLAM correspondence search does k=5 over 1728
+    candidates x 16k queries per ICP iteration)."""
+    vals = []
+    idxs = []
+    d = neg_d
+    for _ in range(k):
+        i = jnp.argmax(d, axis=-1)
+        v = jnp.take_along_axis(d, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i.astype(jnp.int32))
+        d = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1) == i[..., None],
+            -jnp.inf,
+            d,
+        )
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
+class KnnIndex(NamedTuple):
+    """Sorted-cell index over the base points (build once, query many — the
+    SLAM ICP loop queries the SAME map 7x per scan; hoisting the build out of
+    the iteration loop removes 6 redundant [N]-scale sorts per scan)."""
+
+    pad_hi: Optional[jnp.ndarray]  # [N+cap] sorted code hi lane; None = single-lane
+    pad_lo: jnp.ndarray  # [N+cap] sorted code lo lane (sentinel-padded)
+    pad_perm: jnp.ndarray  # [N+cap] sorted pos -> base row
+    base_pad: jnp.ndarray  # [N+cap, 3]
+    origin: jnp.ndarray  # [3] int32 cell origin (cells are rebased to it)
+
+
+def build_knn_index(
+    base: jnp.ndarray,
+    cell_size: float,
+    base_batch: Optional[jnp.ndarray] = None,
+    base_valid: Optional[jnp.ndarray] = None,
+    cell_cap: int = 32,
+    depth: int = 16,
+    single_lane: bool = False,
+) -> KnnIndex:
+    """``single_lane=True`` (caller-contracted: 3*depth + batch bits <= 31
+    and the base's cell span + 4 fits 2^depth) sorts one u32 key instead of
+    an (hi, lo) pair — the right setting for the SLAM map, whose sliding
+    window spans a few hundred cells."""
+    from .codes import code_fill_invalid, code_lexsort, code_or_batch, code_take
+    from .serialization import z_order_encode
+
+    n = base.shape[0]
+    if base_valid is None:
+        base_valid = jnp.ones((n,), bool)
+    bb = base_batch if base_batch is not None else jnp.zeros((n,), jnp.int32)
+
+    inv = 1.0 / cell_size
+    bcell = jnp.floor(base * inv).astype(jnp.int32)
+    # shift to non-negative (z-order domain); -1 margin for the ring offsets
+    origin = jnp.min(jnp.where(base_valid[:, None], bcell, 2**20), axis=0) - 1
+    bcell = bcell - origin
+    b_in = base_valid & jnp.all((bcell >= 0) & (bcell < (1 << depth)), axis=-1)
+
+    bcode = code_or_batch(z_order_encode(jnp.clip(bcell, 0, (1 << depth) - 1), depth), bb, depth)
+    bcode = code_fill_invalid(bcode, b_in)
+    if single_lane:
+        iota = jnp.arange(n, dtype=jnp.int32)
+        _, perm = jax.lax.sort((bcode.lo, iota), num_keys=1, is_stable=True)
+    else:
+        perm = code_lexsort(bcode)
+    scode = code_take(bcode, perm)
+
+    pad_hi = (
+        None
+        if single_lane
+        else jnp.concatenate([scode.hi, jnp.full((cell_cap,), 0xFFFFFFFF, jnp.uint32)])
+    )
+    pad_lo = jnp.concatenate([scode.lo, jnp.full((cell_cap,), 0xFFFFFFFF, jnp.uint32)])
+    pad_perm = jnp.concatenate([perm.astype(jnp.int32), jnp.zeros((cell_cap,), jnp.int32)])
+    base_pad = jnp.concatenate([base, jnp.zeros((cell_cap, 3), base.dtype)], axis=0)
+    return KnnIndex(pad_hi=pad_hi, pad_lo=pad_lo, pad_perm=pad_perm, base_pad=base_pad, origin=origin)
+
+
+def knn_query_index(
+    index: KnnIndex,
+    query: jnp.ndarray,  # [Q, 3]
+    k: int,
+    cell_size: float,
+    query_batch: Optional[jnp.ndarray] = None,
+    cell_cap: int = 32,
+    query_chunk: int = 8192,
+    depth: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Query a prebuilt index. ``cell_size``/``cell_cap``/``depth`` must match
+    the build. Queries whose ring falls outside the index's code domain miss
+    (they can have no in-range base neighbor by construction of the origin)."""
+    from .codes import code_or_batch
+    from .serialization import z_order_encode
+
+    single_lane = index.pad_hi is None
+    n = index.pad_perm.shape[0] - cell_cap
+    nq = query.shape[0]
+    qb = query_batch if query_batch is not None else jnp.zeros((nq,), jnp.int32)
+    inv = 1.0 / cell_size
+    qcell = jnp.floor(query * inv).astype(jnp.int32) - index.origin
+
+    offs = np.asarray(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+        np.int32,
+    )
+    n_off = offs.shape[0]
+    qc = qcell[:, None, :] + jnp.asarray(offs)[None, :, :]  # [Q, 27, 3]
+    q_in = jnp.all((qc >= 0) & (qc < (1 << depth)), axis=-1).reshape(-1)
+    qcode = code_or_batch(
+        z_order_encode(jnp.clip(qc, 0, (1 << depth) - 1).reshape(-1, 3), depth),
+        jnp.broadcast_to(qb[:, None], (nq, n_off)).reshape(-1),
+        depth,
+    )
+    # out-of-domain ring cells -> the sentinel code (never matches a live base)
+    qlo = jnp.where(q_in, qcode.lo, jnp.uint32(0xFFFFFFFF))
+    if single_lane:
+        qhi = None
+    else:
+        qhi = jnp.where(q_in, qcode.hi, jnp.uint32(0xFFFFFFFF))
+
+    class _View(NamedTuple):
+        hi: jnp.ndarray
+        lo: jnp.ndarray
+
+    scode_view = _View(
+        hi=None if single_lane else jax.lax.slice_in_dim(index.pad_hi, 0, n),
+        lo=jax.lax.slice_in_dim(index.pad_lo, 0, n),
+    )
+    head = _run_head_lookup(scode_view, qhi, qlo, n).reshape(nq, n_off)
+
+    qlo2 = qlo.reshape(nq, n_off)
+    qhi2 = None if single_lane else qhi.reshape(nq, n_off)
+
+    def block(args):
+        q_blk, head_blk, qhi_blk, qlo_blk = args
+        m = q_blk.shape[0]
+        rows = head_blk[:, :, None] + jnp.arange(cell_cap, dtype=jnp.int32)  # [m, 27, cap]
+        rows = rows.reshape(m, n_off * cell_cap)
+        c_lo = jnp.take(index.pad_lo, rows, axis=0)
+        ok = c_lo == jnp.repeat(qlo_blk, cell_cap, axis=1)
+        if qhi_blk is not None:
+            c_hi = jnp.take(index.pad_hi, rows, axis=0)
+            ok &= c_hi == jnp.repeat(qhi_blk, cell_cap, axis=1)
+        cand = jnp.take(index.pad_perm, rows, axis=0)  # [m, C] base rows
+        pos = jnp.take(index.base_pad, cand, axis=0)  # [m, C, 3]
+        d = jnp.sum(jnp.square(pos - q_blk[:, None, :].astype(jnp.float32)), axis=-1)
+        d = jnp.where(ok, d, _BIG)
+        # k argmax-extraction passes instead of lax.top_k's sort lowering
+        neg_top, top_i = small_top_k(-d, k)
+        idx = jnp.take_along_axis(cand, top_i, axis=1)
+        dist = -neg_top
+        # repeat-nearest fill for missing slots
+        idx = jnp.where(dist < _BIG, idx, idx[:, :1])
+        return idx, dist
+
+    chunk = min(query_chunk, nq)
+    nblk = -(-nq // chunk)
+    pad_q = nblk * chunk
+    if pad_q != nq:
+        query_p = jnp.pad(query, ((0, pad_q - nq), (0, 0)))
+        head_p = jnp.pad(head, ((0, pad_q - nq), (0, 0)), constant_values=n)
+        qlo_p = jnp.pad(qlo2, ((0, pad_q - nq), (0, 0)), constant_values=1)
+        qhi_p = None if single_lane else jnp.pad(qhi2, ((0, pad_q - nq), (0, 0)))
+    else:
+        query_p, head_p, qhi_p, qlo_p = query, head, qhi2, qlo2
+    if nblk == 1:
+        idx, dist = block((query_p, head_p, qhi_p, qlo_p))
+    else:
+        if single_lane:
+            idx, dist = jax.lax.map(
+                lambda a: block((a[0], a[1], None, a[2])),
+                (
+                    query_p.reshape(nblk, chunk, 3),
+                    head_p.reshape(nblk, chunk, n_off),
+                    qlo_p.reshape(nblk, chunk, n_off),
+                ),
+            )
+        else:
+            idx, dist = jax.lax.map(
+                block,
+                (
+                    query_p.reshape(nblk, chunk, 3),
+                    head_p.reshape(nblk, chunk, n_off),
+                    qhi_p.reshape(nblk, chunk, n_off),
+                    qlo_p.reshape(nblk, chunk, n_off),
+                ),
+            )
+        idx = idx.reshape(pad_q, k)
+        dist = dist.reshape(pad_q, k)
+    return idx[:nq], dist[:nq]
 
 
 def knn_bucketed(
@@ -148,6 +372,7 @@ def knn_bucketed(
     cell_cap: int = 32,
     query_chunk: int = 8192,
     depth: int = 16,
+    single_lane: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Grid-bucketed k-NN. Returns (idx int32[Q, k], sqdist f32[Q, k]).
 
@@ -155,100 +380,17 @@ def knn_bucketed(
     inspected cell holds more than ``cell_cap`` points; under-filled queries
     carry ``sqdist >= _BIG`` in the missing slots (idx falls back to the
     nearest found candidate, mirroring ball_query's repeat-first semantics).
+    One-shot wrapper over build_knn_index + knn_query_index; loops that query
+    the same base repeatedly should hoist the build.
     """
-    from .codes import code_fill_invalid, code_lexsort, code_or_batch, code_take
-    from .serialization import z_order_encode
-
-    n = base.shape[0]
-    nq = query.shape[0]
-    if base_valid is None:
-        base_valid = jnp.ones((n,), bool)
-    bb = base_batch if base_batch is not None else jnp.zeros((n,), jnp.int32)
-    qb = query_batch if query_batch is not None else jnp.zeros((nq,), jnp.int32)
-
-    inv = 1.0 / cell_size
-    bcell = jnp.floor(base * inv).astype(jnp.int32)
-    qcell = jnp.floor(query * inv).astype(jnp.int32)
-    # shift to non-negative (z-order domain); -1 margin for the ring offsets
-    origin = jnp.minimum(
-        jnp.min(jnp.where(base_valid[:, None], bcell, 2**20), axis=0), jnp.min(qcell, axis=0)
-    ) - 1
-    bcell = bcell - origin
-    qcell = qcell - origin
-
-    bcode = code_or_batch(z_order_encode(bcell, depth), bb, depth)
-    bcode = code_fill_invalid(bcode, base_valid)
-    perm = code_lexsort(bcode)
-    scode = code_take(bcode, perm)
-
-    offs = np.asarray(
-        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
-        np.int32,
+    index = build_knn_index(
+        base, cell_size, base_batch, base_valid, cell_cap=cell_cap, depth=depth,
+        single_lane=single_lane,
     )
-    n_off = offs.shape[0]
-    qc = qcell[:, None, :] + jnp.asarray(offs)[None, :, :]  # [Q, 27, 3]
-    qcode = code_or_batch(
-        z_order_encode(jnp.maximum(qc, 0).reshape(-1, 3), depth),
-        jnp.broadcast_to(qb[:, None], (nq, n_off)).reshape(-1),
-        depth,
+    return knn_query_index(
+        index, query, k, cell_size, query_batch=query_batch, cell_cap=cell_cap,
+        query_chunk=query_chunk, depth=depth,
     )
-    head = _run_head_lookup(scode, qcode.hi, qcode.lo, n).reshape(nq, n_off)
-
-    # pad the sorted arrays once so candidate gathers never clamp into real rows
-    pad_hi = jnp.concatenate([scode.hi, jnp.full((cell_cap,), 0xFFFFFFFF, jnp.uint32)])
-    pad_lo = jnp.concatenate([scode.lo, jnp.full((cell_cap,), 0xFFFFFFFF, jnp.uint32)])
-    pad_perm = jnp.concatenate([perm, jnp.zeros((cell_cap,), jnp.int32)])
-    base_pad = jnp.concatenate([base, jnp.zeros((cell_cap, 3), base.dtype)], axis=0)
-
-    qhi2 = qcode.hi.reshape(nq, n_off)
-    qlo2 = qcode.lo.reshape(nq, n_off)
-
-    def block(args):
-        q_blk, head_blk, qhi_blk, qlo_blk = args
-        m = q_blk.shape[0]
-        rows = head_blk[:, :, None] + jnp.arange(cell_cap, dtype=jnp.int32)  # [m, 27, cap]
-        rows = rows.reshape(m, n_off * cell_cap)
-        c_hi = jnp.take(pad_hi, rows, axis=0)
-        c_lo = jnp.take(pad_lo, rows, axis=0)
-        ok = (c_hi == jnp.repeat(qhi_blk, cell_cap, axis=1)) & (
-            c_lo == jnp.repeat(qlo_blk, cell_cap, axis=1)
-        )
-        cand = jnp.take(pad_perm, rows, axis=0)  # [m, C] base rows
-        pos = jnp.take(base_pad, cand, axis=0)  # [m, C, 3]
-        d = jnp.sum(jnp.square(pos - q_blk[:, None, :].astype(jnp.float32)), axis=-1)
-        d = jnp.where(ok, d, _BIG)
-        neg_top, top_i = jax.lax.top_k(-d, k)
-        idx = jnp.take_along_axis(cand, top_i, axis=1)
-        dist = -neg_top
-        # repeat-nearest fill for missing slots
-        idx = jnp.where(dist < _BIG, idx, idx[:, :1])
-        return idx, dist
-
-    chunk = min(query_chunk, nq)
-    nblk = -(-nq // chunk)
-    pad_q = nblk * chunk
-    if pad_q != nq:
-        query_p = jnp.pad(query, ((0, pad_q - nq), (0, 0)))
-        head_p = jnp.pad(head, ((0, pad_q - nq), (0, 0)), constant_values=n)
-        qhi_p = jnp.pad(qhi2, ((0, pad_q - nq), (0, 0)))
-        qlo_p = jnp.pad(qlo2, ((0, pad_q - nq), (0, 0)), constant_values=1)
-    else:
-        query_p, head_p, qhi_p, qlo_p = query, head, qhi2, qlo2
-    if nblk == 1:
-        idx, dist = block((query_p, head_p, qhi_p, qlo_p))
-    else:
-        idx, dist = jax.lax.map(
-            block,
-            (
-                query_p.reshape(nblk, chunk, 3),
-                head_p.reshape(nblk, chunk, n_off),
-                qhi_p.reshape(nblk, chunk, n_off),
-                qlo_p.reshape(nblk, chunk, n_off),
-            ),
-        )
-        idx = idx.reshape(pad_q, k)
-        dist = dist.reshape(pad_q, k)
-    return idx[:nq], dist[:nq]
 
 
 def ball_query(

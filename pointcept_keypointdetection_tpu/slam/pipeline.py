@@ -122,6 +122,13 @@ class LidarOdometry:
             t0 = t_prev + step_t * jnp.minimum(1.0, cfg.max_motion / jnp.maximum(norm, 1e-9))
 
             cell_cap = min(int(np.ceil(cfg.max_corr_dist / cfg.map_voxel) + 1) ** 3, 128)
+            # static bound on the sliding map's cell span: the pruned map
+            # spans <= 2*map_radius, one un-pruned insert adds <= max_range
+            # reach -> single-lane u32 correspondence codes whenever it fits
+            span = 2.0 * (cfg.map_radius + cfg.max_range) / cfg.max_corr_dist + 8
+            index_depth = max(int(np.ceil(np.log2(span))), 4)
+            if 3 * index_depth > 31:
+                index_depth = None  # fall back to 16-bit two-lane codes
 
             def run_icp(_):
                 res = point_to_plane_icp(
@@ -138,6 +145,7 @@ class LidarOdometry:
                     damping=1e-4,
                     min_planarity=cfg.min_planarity,
                     cell_cap=cell_cap,
+                    index_depth=index_depth,
                 )
                 return res.R, res.t, res.rmse, res.inliers
 
@@ -162,7 +170,12 @@ class LidarOdometry:
             world = scan @ R.T + t
             # a scan registered poorly must NOT be fused into the map
             insert_valid = valid & fuse
-            new_map = insert(vmap, world, insert_valid)
+            map_span = 2.0 * (cfg.map_radius + cfg.max_range) / cfg.map_voxel + 8
+            map_depth = max(int(np.ceil(np.log2(map_span))), 4)
+            new_map = insert(
+                vmap, world, insert_valid,
+                code_depth=map_depth if 3 * map_depth <= 31 else None,
+            )
             new_map = prune(new_map, t, cfg.map_radius)
             return new_map, R, t, rmse, inliers
 

@@ -25,7 +25,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.knn import knn, knn_bucketed
+from ..ops.knn import build_knn_index, knn, knn_query_index
 from . import se3
 
 
@@ -64,22 +64,39 @@ def point_to_plane_icp(
     min_planarity: float = 0.7,
     bucketed: bool = True,
     cell_cap: int = 64,
+    index_depth: Optional[int] = None,
 ) -> RegistrationResult:
     """``cell_cap`` must cover the densest possible search cell:
     ceil(max_corr_dist / map_voxel + 1)^3 points fit in one cell ring —
     an undersized cap silently truncates candidates as the map densifies,
     which biases the fitted planes and sends the odometry into a
     drift -> map-spray -> divergence spiral (observed at cap=32 on the
-    synthetic street at ~frame 18)."""
+    synthetic street at ~frame 18).
+
+    ``index_depth``: a caller-contracted bound on the target's cell span
+    (span + 4 <= 2^depth).  Setting it small enough that 3*depth <= 31
+    switches the correspondence search to single-lane u32 codes; either way
+    the sorted-cell index is built ONCE and queried by all iterations (the
+    target never changes inside the loop) — at 16 bits/2-lane the per-scan
+    update was paying 7 redundant map-scale sorts."""
     n = source.shape[0]
 
-    def corr(p_w):
-        if bucketed:
-            return knn_bucketed(
-                p_w, target, k, cell_size=max_corr_dist,
-                base_valid=target_valid, cell_cap=cell_cap,
+    if bucketed:
+        depth = index_depth if index_depth is not None else 16
+        single = index_depth is not None and 3 * depth <= 31
+        index = build_knn_index(
+            target, max_corr_dist, base_valid=target_valid, cell_cap=cell_cap,
+            depth=depth, single_lane=single,
+        )
+
+        def corr(p_w):
+            return knn_query_index(
+                index, p_w, k, max_corr_dist, cell_cap=cell_cap, depth=depth
             )
-        return knn(p_w, target, k, base_valid=target_valid)
+
+    else:
+        def corr(p_w):
+            return knn(p_w, target, k, base_valid=target_valid)
 
     def body(_, carry):
         R, t = carry

@@ -180,6 +180,8 @@ class SemanticSLAM:
         for j, R0, t0, corr in self._loop_candidates(k):
             # verify: register keyframe k's scan against keyframe j's scan
             scan_j_world = self.kf_scan[j] @ self.kf_R[j].T + self.kf_t[j]
+            # keyframe scans reach <= ~60 m; span bound 140 m of cells
+            depth = max(int(np.ceil(np.log2(140.0 / corr + 8))), 4)
             res = point_to_plane_icp(
                 jnp.asarray(scan_k),
                 jnp.asarray(valid_k),
@@ -189,6 +191,7 @@ class SemanticSLAM:
                 jnp.asarray(t0.astype(np.float32)),
                 iters=10,
                 max_corr_dist=corr,
+                index_depth=depth if 3 * depth <= 31 else None,
             )
             inl = int(res.inliers)
             if inl < cfg.loop_min_inliers:

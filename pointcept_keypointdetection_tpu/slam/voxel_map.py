@@ -43,8 +43,18 @@ class VoxelMap(NamedTuple):
         return self.points.shape[0]
 
 
-def insert(vmap: VoxelMap, new_points: jnp.ndarray, new_valid: jnp.ndarray) -> VoxelMap:
-    """Merge new (world-frame) points, one point per voxel, map points first."""
+def insert(
+    vmap: VoxelMap, new_points: jnp.ndarray, new_valid: jnp.ndarray, code_depth=None
+) -> VoxelMap:
+    """Merge new (world-frame) points, one point per voxel, map points first.
+
+    ``code_depth``: caller-contracted bound on the merged set's voxel span
+    (span + 4 <= 2^code_depth — for a sliding-window odometry map that is
+    2*(map_radius + max_range)/voxel).  When set, voxels are rebased to the
+    merged set's own min cell so the dedup sort runs on ONE u32 key instead
+    of a (hi, lo) pair (the per-scan map insert is sort-bound); points beyond
+    the contracted span are dropped (cannot occur within the window).
+    """
     m = vmap.capacity
     all_points = jnp.concatenate([vmap.points, new_points], axis=0)
     all_valid = jnp.concatenate([vmap.valid, new_valid], axis=0)
@@ -52,11 +62,25 @@ def insert(vmap: VoxelMap, new_points: jnp.ndarray, new_valid: jnp.ndarray) -> V
     in_range = jnp.all((grid >= 0) & (grid < (1 << _DEPTH)), axis=-1)
     all_valid = all_valid & in_range
     grid = jnp.clip(grid, 0, (1 << _DEPTH) - 1)
-
-    code = z_order_encode(grid, _DEPTH)
     batch = jnp.zeros((all_points.shape[0],), jnp.int32)
-    code = code_or_batch(code, batch, _DEPTH)
-    su = slotted_unique(code, all_valid, batch, 1, m)
+
+    perm = None
+    depth = _DEPTH
+    if code_depth is not None and 3 * code_depth <= 31:
+        depth = code_depth
+        gmin = jnp.min(jnp.where(all_valid[:, None], grid, 1 << _DEPTH), axis=0)
+        grid = grid - gmin
+        all_valid = all_valid & jnp.all((grid >= 0) & (grid < (1 << depth)), axis=-1)
+        grid = jnp.clip(grid, 0, (1 << depth) - 1)
+        code = code_or_batch(z_order_encode(grid, depth), batch, depth)
+        from ..ops.codes import code_fill_invalid
+
+        filled = code_fill_invalid(code, all_valid)
+        iota = jnp.arange(all_points.shape[0], dtype=jnp.int32)
+        _, perm = jax.lax.sort((filled.lo, iota), num_keys=1, is_stable=True)
+    else:
+        code = code_or_batch(z_order_encode(grid, depth), batch, depth)
+    su = slotted_unique(code, all_valid, batch, 1, m, precomputed_perm=perm)
     head = jnp.minimum(su.head_row, all_points.shape[0] - 1)
     points = jnp.where(su.out_valid[:, None], jnp.take(all_points, head, axis=0), 0.0)
     return vmap._replace(points=points, valid=su.out_valid)

@@ -97,6 +97,69 @@ def test_stratified_transformer_forward(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_stratified_rpe_matches_oracle(rng):
+    """StratifiedAttention's learned relative-position bias must equal the
+    reference `dot_prod_with_idx` semantics: logits += sum over the 3 axes of
+    table[clip(rel_axis, -b, b) + b + axis*(2b+1), head] — checked against an
+    independent numpy reimplementation of the whole biased attention on one
+    window (reference kernels:
+    `libs/pointops2/src/rpe_v2/relative_pos_encoding_cuda_kernel_v2.cu`)."""
+    import jax.numpy as jnp
+
+    from pointcept_keypointdetection_tpu.models.stratified_transformer import (
+        StratifiedAttention,
+    )
+    from pointcept_keypointdetection_tpu.models.structure import PointBatch
+
+    n, c, h, k = 16, 8, 2, 16  # one window, one patch (p = 1, super too)
+    coords = rng.uniform(0, 0.9, (n, 3)).astype(np.float32)
+    grid = np.floor(coords / 0.05).astype(np.int32)
+    point = PointBatch(
+        coord=jnp.asarray(coords),
+        feat=jnp.asarray(rng.normal(size=(n, c)).astype(np.float32)),
+        grid_coord=jnp.asarray(grid),
+        valid=jnp.ones(n, bool),
+        num_samples=1,
+    ).serialize(orders=("z",), depth=16)
+
+    attn = StratifiedAttention(c, h, k, super_ratio=1, enable_rpe=True, rpe_bound=4)
+    variables = attn.init({"params": jax.random.PRNGKey(0)}, point, False)
+    out = np.asarray(attn.apply(variables, point, False))
+
+    # ---- numpy oracle ---------------------------------------------------
+    p = variables["params"]
+    order = np.asarray(point.serialized_order)[0]
+    x = np.asarray(point.feat)
+    qkv = x @ np.asarray(p["qkv"]["kernel"]) + np.asarray(p["qkv"]["bias"])
+    qkv_s = qkv[order].reshape(n, 3, h, c // h)
+    g_s = grid[order]
+    table = np.asarray(p["rpe_table"])  # [3*(2b+1), h]
+    b = 4
+    d = c // h
+    # super_ratio=1: keys = [local, stride-1 subsample] = window twice
+    keys_g = np.concatenate([g_s, g_s], axis=0)  # [2k, 3]
+    out_sorted = np.zeros((n, c), np.float32)
+    for head in range(h):
+        q = qkv_s[:, 0, head] * d**-0.5
+        kk = np.concatenate([qkv_s[:, 1, head], qkv_s[:, 1, head]], axis=0)
+        vv = np.concatenate([qkv_s[:, 2, head], qkv_s[:, 2, head]], axis=0)
+        logits = q @ kk.T  # [k, 2k]
+        for i in range(n):
+            for j in range(2 * n):
+                rel = g_s[i] - keys_g[j]
+                bias = sum(
+                    table[int(np.clip(rel[a], -b, b)) + b + a * (2 * b + 1), head]
+                    for a in range(3)
+                )
+                logits[i, j] += bias
+        w = np.exp(logits - logits.max(1, keepdims=True))
+        w /= w.sum(1, keepdims=True)
+        out_sorted[:, head * d : (head + 1) * d] = w @ vv
+    inv = np.asarray(point.serialized_inverse)[0]
+    expect = out_sorted[inv] @ np.asarray(p["proj"]["kernel"]) + np.asarray(p["proj"]["bias"])
+    np.testing.assert_allclose(out, expect, rtol=2e-3, atol=2e-3)
+
+
 def test_spvcnn_trilinear_devoxelize():
     """voxel_to_point interpolates exactly: center -> identity, midpoint -> mean."""
     import jax.numpy as jnp

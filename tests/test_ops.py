@@ -435,6 +435,14 @@ def test_knn_bucketed_matches_brute_force(rng):
     np.testing.assert_allclose(
         np.sort(np.asarray(d_b), axis=1), np.sort(np.asarray(d_o), axis=1), rtol=1e-4, atol=1e-5
     )
+    # single-lane compact codes (span 2/0.35 ~ 6 cells << 2^8): same result
+    idx_s, d_s = ops.knn_bucketed(
+        jnp.asarray(query), jnp.asarray(base), k, cell, cell_cap=256, query_chunk=128,
+        depth=8, single_lane=True,
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(d_s), axis=1), np.sort(np.asarray(d_o), axis=1), rtol=1e-4, atol=1e-5
+    )
 
 
 def test_knn_bucketed_batched_and_masked(rng):

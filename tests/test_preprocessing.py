@@ -264,3 +264,68 @@ def test_arkitscenes_mesh(tmp_path, rng):
     normal = np.load(out / "Training" / "41048190" / "normal.npy")
     np.testing.assert_allclose(np.linalg.norm(normal, axis=1), 1.0, atol=1e-5)
     np.testing.assert_allclose(np.load(out / "Training" / "41048190" / "coord.npy"), coord, rtol=1e-6)
+
+
+def test_data_efficient_split_generator(tmp_path, rng, monkeypatch):
+    """tools/generate_data_efficient_splits.py makes the efficient-* config
+    assets (LA points{K}.npy + LR scene{P}.txt) from a scannet-layout tree,
+    instance-stratified; ScanNetDataset consumes them end-to-end (masking
+    everything outside the sample to ignore_index)."""
+    import subprocess
+    import sys as _sys
+
+    root = tmp_path / "scannet"
+    names = ["scene0000_00", "scene0001_00", "scene0002_00", "scene0003_00"]
+    for si, name in enumerate(names):
+        d = root / "train" / name
+        d.mkdir(parents=True)
+        n = 500
+        coord = rng.uniform(0, 4, (n, 3)).astype(np.float32)
+        seg = rng.integers(0, 5, n).astype(np.int64)
+        seg[:20] = -1  # some unlabeled points
+        inst = rng.integers(0, 7, n).astype(np.int64)
+        np.save(d / "coord.npy", coord)
+        np.save(d / "color.npy", rng.integers(0, 255, (n, 3)).astype(np.uint8))
+        np.save(d / "normal.npy", rng.normal(size=(n, 3)).astype(np.float32))
+        np.save(d / "segment20.npy", seg)
+        np.save(d / "instance.npy", inst)
+    (root / "val").mkdir()
+
+    script = os.path.join(os.path.dirname(__file__), "..", "tools", "generate_data_efficient_splits.py")
+    subprocess.run(
+        [_sys.executable, script, "--data-root", str(root), "--points", "20", "--scenes", "50"],
+        check=True,
+    )
+
+    la = np.load(root / "tasks" / "points" / "points20.npy", allow_pickle=True).item()
+    assert set(la) == set(names)
+    for name in names:
+        idx = la[name]
+        assert len(idx) == 20 and len(np.unique(idx)) == 20
+        seg = np.load(root / "train" / name / "segment20.npy")
+        inst = np.load(root / "train" / name / "instance.npy")
+        assert (seg[idx] >= 0).all()  # only labeled points sampled
+        # instance-stratified: 20 picks over 7 instances cover every instance
+        assert len(np.unique(inst[idx])) == len(np.unique(inst[seg >= 0]))
+
+    lr = np.loadtxt(root / "tasks" / "scenes" / "scene50.txt", dtype=str)
+    assert len(np.atleast_1d(lr)) == 2  # 50% of 4 scenes
+
+    from pointcept_keypointdetection_tpu.datasets import build_dataset
+
+    ds = build_dataset(dict(
+        type="ScanNetDataset", split="train", data_root=str(root),
+        la_file=str(root / "tasks" / "points" / "points20.npy"),
+        transform=[], test_mode=False, loop=1,
+    ))
+    sample = ds.get_data(0)
+    seg = sample["segment"]
+    assert (seg >= 0).sum() == 20  # everything outside the sample is ignored
+    assert len(sample["sampled_index"]) == 20
+
+    ds_lr = build_dataset(dict(
+        type="ScanNetDataset", split="train", data_root=str(root),
+        lr_file=str(root / "tasks" / "scenes" / "scene50.txt"),
+        transform=[], test_mode=False, loop=1,
+    ))
+    assert len(ds_lr.get_data_list()) == 2

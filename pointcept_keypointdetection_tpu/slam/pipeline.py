@@ -121,11 +121,11 @@ class LidarOdometry:
             norm = jnp.linalg.norm(step_t)
             t0 = t_prev + step_t * jnp.minimum(1.0, cfg.max_motion / jnp.maximum(norm, 1e-9))
 
-            cell_cap = min(int(np.ceil(cfg.max_corr_dist / cfg.map_voxel) + 1) ** 3, 128)
-            # static bound on the sliding map's cell span: the pruned map
-            # spans <= 2*map_radius, one un-pruned insert adds <= max_range
-            # reach -> single-lane u32 correspondence codes whenever it fits
-            span = 2.0 * (cfg.map_radius + cfg.max_range) / cfg.max_corr_dist + 8
+            # unit-cell correspondence search on the map's OWN dedup lattice
+            # (one point per cell by construction -> cap 1, no code checks);
+            # static span bound: pruned map <= 2*map_radius, one un-pruned
+            # insert adds <= max_range reach -> single-lane u32 codes
+            span = 2.0 * (cfg.map_radius + cfg.max_range) / cfg.map_voxel + 8
             index_depth = max(int(np.ceil(np.log2(span))), 4)
             if 3 * index_depth > 31:
                 index_depth = None  # fall back to 16-bit two-lane codes
@@ -144,8 +144,9 @@ class LidarOdometry:
                     huber_delta=cfg.huber_delta,
                     damping=1e-4,
                     min_planarity=cfg.min_planarity,
-                    cell_cap=cell_cap,
                     index_depth=index_depth,
+                    cell_size=cfg.map_voxel,
+                    lattice_origin=cfg.map_origin,
                 )
                 return res.R, res.t, res.rmse, res.inliers
 

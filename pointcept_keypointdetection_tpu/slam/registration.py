@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.knn import build_knn_index, knn, knn_query_index
 from . import se3
@@ -65,6 +66,8 @@ def point_to_plane_icp(
     bucketed: bool = True,
     cell_cap: int = 64,
     index_depth: Optional[int] = None,
+    cell_size: Optional[float] = None,
+    lattice_origin=None,
 ) -> RegistrationResult:
     """``cell_cap`` must cover the densest possible search cell:
     ceil(max_corr_dist / map_voxel + 1)^3 points fit in one cell ring —
@@ -78,20 +81,33 @@ def point_to_plane_icp(
     switches the correspondence search to single-lane u32 codes; either way
     the sorted-cell index is built ONCE and queried by all iterations (the
     target never changes inside the loop) — at 16 bits/2-lane the per-scan
-    update was paying 7 redundant map-scale sorts."""
+    update was paying 7 redundant map-scale sorts.
+
+    ``cell_size`` + ``lattice_origin``: pass the target's own dedup lattice
+    (map_voxel + map origin) to bucket at UNIT-CELL granularity — each cell
+    then holds at most one point, so ``cell_cap`` drops to 1 and the
+    candidate set shrinks from ring27 x cap64 = 1728 rows to a sphere-pruned
+    ~3-cell-radius ring of ~180 single rows, with no per-candidate code
+    check (distance-only exactness; invalid rows sit at 1e9)."""
     n = source.shape[0]
 
     if bucketed:
         depth = index_depth if index_depth is not None else 16
         single = index_depth is not None and 3 * depth <= 31
+        cell = cell_size if cell_size is not None else max_corr_dist
+        unit_cell = cell_size is not None and lattice_origin is not None
+        cap = 1 if unit_cell else cell_cap
+        ring = int(np.ceil(max_corr_dist / cell)) if unit_cell else 1
         index = build_knn_index(
-            target, max_corr_dist, base_valid=target_valid, cell_cap=cell_cap,
-            depth=depth, single_lane=single,
+            target, cell, base_valid=target_valid, cell_cap=cap,
+            depth=depth, single_lane=single, lattice_origin=lattice_origin,
         )
 
         def corr(p_w):
             return knn_query_index(
-                index, p_w, k, max_corr_dist, cell_cap=cell_cap, depth=depth
+                index, p_w, k, cell, cell_cap=cap, depth=depth,
+                ring_radius=ring, verify_codes=not unit_cell,
+                lattice_origin=lattice_origin,
             )
 
     else:

@@ -519,3 +519,42 @@ def test_three_nn_interpolate_bucketed_matches_brute(rng):
     # tolerance: the two paths compute distances differently (MXU q^2-2qb+b^2
     # vs direct (p-q)^2) so near-tied 3rd neighbors may swap
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-3, atol=1e-3)
+
+
+def test_knn_unit_cell_lattice_matches_brute(rng):
+    """Unit-cell search (cell == the base's dedup voxel, cap=1, sphere-pruned
+    ring, no code checks — the SLAM map configuration): exact vs brute for
+    every neighbor within the ring's L-inf reach."""
+    from pointcept_keypointdetection_tpu.ops.knn import build_knn_index, knn_query_index
+
+    voxel = 0.35
+    origin = np.array([-5.0, -5.0, -2.0], np.float32)
+    n_raw = 6000
+    pts = rng.uniform(0, 12.0, (n_raw, 3)).astype(np.float32)
+    # voxel-dedup on the lattice floor((p - origin)/voxel): one point per cell
+    grid = np.floor((pts - origin) / voxel).astype(np.int64)
+    key = grid[:, 0] * 10**8 + grid[:, 1] * 10**4 + grid[:, 2]
+    _, first = np.unique(key, return_index=True)
+    base = pts[first]
+    n = len(base)
+    query = rng.uniform(1.0, 11.0, (128, 3)).astype(np.float32)
+    k, corr = 5, 1.0
+    ring = int(np.ceil(corr / voxel))
+
+    index = build_knn_index(
+        jnp.asarray(base), voxel, cell_cap=1, depth=9, single_lane=True,
+        lattice_origin=jnp.asarray(origin),
+    )
+    idx, sqd = knn_query_index(
+        index, jnp.asarray(query), k, voxel, cell_cap=1, depth=9,
+        ring_radius=ring, verify_codes=False, lattice_origin=jnp.asarray(origin),
+    )
+    idx_o, d_o = ops.knn(jnp.asarray(query), jnp.asarray(base), k)
+    # compare where the oracle's k-th neighbor is inside the ring's reach
+    d_b = np.sort(np.asarray(sqd), axis=1)
+    d_ref = np.sort(np.asarray(d_o), axis=1)
+    covered = d_ref[:, -1] <= corr**2
+    assert covered.sum() > 50  # the scene is dense enough to test something
+    # brute knn expands |q-b|^2 = q^2 - 2qb + b^2 on the MXU (catastrophic
+    # cancellation); the lattice path subtracts directly -> small f32 skew
+    np.testing.assert_allclose(d_b[covered], d_ref[covered], rtol=5e-3, atol=1e-4)

@@ -152,3 +152,31 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def filter_top_scenes(dataset_root: str, num_keep: int = 10000) -> int:
+    """Keep only the ``num_keep`` largest processed scenes (by point count),
+    moving the rest into sibling ``<split>_rm`` directories — the HM3D
+    curation step (reference `preprocessing/hm3d/filter_hm3d.py`: the raw
+    release has ~2x more tiny/low-value scenes than the pretraining recipe
+    wants).  Returns the number of scenes moved."""
+    import shutil
+
+    scene_list = sorted(glob.glob(os.path.join(dataset_root, "*", "*")))
+    scene_list = [s for s in scene_list if os.path.isdir(s) and not s.endswith("_rm")]
+    scene_list = [s for s in scene_list if not Path(s).parent.name.endswith("_rm")]
+    if len(scene_list) <= num_keep:
+        return 0
+    sizes = []
+    for s in scene_list:
+        arr = np.load(os.path.join(s, "coord.npy"), mmap_mode="r")
+        sizes.append(arr.shape[0])
+    order = np.argsort(sizes)
+    moved = 0
+    for i in order[: len(scene_list) - num_keep]:
+        src = Path(scene_list[i])
+        dst_dir = src.parent.parent / f"{src.parent.name}_rm"
+        dst_dir.mkdir(exist_ok=True)
+        shutil.move(str(src), str(dst_dir / src.name))
+        moved += 1
+    return moved

@@ -329,3 +329,58 @@ def test_data_efficient_split_generator(tmp_path, rng, monkeypatch):
         transform=[], test_mode=False, loop=1,
     ))
     assert len(ds_lr.get_data_list()) == 2
+
+
+def test_re10k_ground_alignment_and_fusion(tmp_path, rng):
+    """re10k preprocessing: posed-depth fusion -> ground-plane RANSAC z-up
+    alignment -> Concerto layout (reference preprocess_re10k.py contract,
+    VGGT replaced by the exported-prediction data contract)."""
+    from PIL import Image
+
+    from pointcept_keypointdetection_tpu.datasets.preprocessing.re10k import (
+        align_ground_plane,
+        process_scene,
+    )
+
+    # --- align_ground_plane: tilted ground + wall clutter ---------------
+    n = 4000
+    ground = np.stack(
+        [rng.uniform(-5, 5, n), rng.uniform(-5, 5, n), rng.normal(0, 0.005, n)], 1
+    )
+    wall = np.stack(
+        [rng.uniform(-5, 5, n // 4), np.full(n // 4, 4.0), rng.uniform(0, 3, n // 4)], 1
+    )
+    pts = np.concatenate([ground, wall]).astype(np.float32)
+    th = np.deg2rad(15)
+    R_true = np.array(
+        [[1, 0, 0], [0, np.cos(th), -np.sin(th)], [0, np.sin(th), np.cos(th)]], np.float32
+    )
+    tilted = pts @ R_true.T + np.array([0, 0, 2.0], np.float32)
+    R, z_off = align_ground_plane(tilted)
+    fixed = tilted @ R.T
+    fixed[:, 2] -= z_off
+    assert abs(np.median(fixed[:n, 2])) < 0.02  # ground back at z=0
+    spread = np.std(fixed[:n, 2])
+    assert spread < 0.02  # and flat again (rotation recovered)
+
+    # --- full scene: camera at origin looking +z at a wall 3 m away ----
+    scene = tmp_path / "scene_a"
+    for sub in ("color", "depth", "pose", "intrinsic"):
+        (scene / sub).mkdir(parents=True)
+    h = w = 64
+    K = np.array([[64, 0, 32], [0, 64, 32], [0, 0, 1]], np.float64)
+    np.save(scene / "intrinsic" / "intrinsic.npy", K)
+    for fid in ("0", "1"):
+        depth = np.full((h, w), 3.0, np.float32) + rng.normal(0, 0.002, (h, w)).astype(np.float32)
+        np.save(scene / "depth" / f"{fid}.npy", depth)
+        Image.fromarray(rng.integers(0, 255, (h, w, 3)).astype(np.uint8)).save(
+            scene / "color" / f"{fid}.png"
+        )
+        np.save(scene / "pose" / f"{fid}.npy", np.eye(4))
+    out = process_scene(str(scene), str(tmp_path / "out"), grid_size=0.05, max_images=2)
+    coord = np.load(os.path.join(out, "coord.npy"))
+    assert len(coord) > 500
+    # the viewed plane (perpendicular to z) is the "ground": aligned to z~0
+    assert np.abs(coord[:, 2]).mean() < 0.05
+    assert os.path.exists(os.path.join(out, "images.npy"))
+    assert os.path.exists(os.path.join(out, "correspondence.npy"))

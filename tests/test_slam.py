@@ -136,3 +136,23 @@ def test_closed_loop_odometry_tracks_synthetic_street():
         rel = T0_inv @ T
         errs.append(np.linalg.norm(pose[:3, 3] - rel[:3, 3]))
     assert max(errs) < 0.05, errs
+
+
+def test_eig3x3_matches_eigh(rng):
+    """Closed-form 3x3 smallest/mid eigenvalues + smallest eigenvector must
+    match jnp.linalg.eigh (up to sign) on random SPD batches, including
+    near-planar (rank-2) covariances like real plane fits."""
+    from pointcept_keypointdetection_tpu.slam.registration import _eig3x3_smallest
+
+    a = rng.normal(size=(500, 3, 3)).astype(np.float32)
+    cov = a @ a.transpose(0, 2, 1)
+    # append near-planar covariances: two large axes, one tiny
+    b = rng.normal(size=(100, 3, 2)).astype(np.float32)
+    planar = b @ b.transpose(0, 2, 1) + 1e-6 * np.eye(3, dtype=np.float32)
+    cov = np.concatenate([cov, planar])
+    lam_min, lam_mid, v = _eig3x3_smallest(jnp.asarray(cov))
+    w, q = np.linalg.eigh(cov)
+    np.testing.assert_allclose(np.asarray(lam_min), w[:, 0], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lam_mid), w[:, 1], rtol=2e-3, atol=2e-4)
+    dot = np.abs(np.sum(np.asarray(v) * q[:, :, 0], axis=-1))
+    assert (dot > 0.99).mean() > 0.98, dot.min()

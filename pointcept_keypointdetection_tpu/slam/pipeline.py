@@ -184,7 +184,19 @@ class LidarOdometry:
             new_map = prune(new_map, t, cfg.map_radius)
             return new_map, R, t, rmse, inliers
 
-        return jax.jit(step)
+        # lazy executable-cached jit: the odometry step is one program per
+        # OdometryConfig; loading its compiled binary beats even a warm JAX
+        # compilation cache by minutes on the relay backend (utils/aot_cache)
+        state = {"compiled": None}
+
+        def dispatch(*args):
+            if state["compiled"] is None:
+                from ..utils.aot_cache import cached_jit
+
+                state["compiled"] = cached_jit(step, args, key_extra=repr(cfg))
+            return state["compiled"](*args)
+
+        return dispatch
 
     def process(self, scan: np.ndarray, labels: Optional[np.ndarray] = None) -> np.ndarray:
         """Feed one scan (N, >=3). Returns the 4x4 world_T_sensor pose."""

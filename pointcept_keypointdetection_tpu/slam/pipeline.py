@@ -128,11 +128,19 @@ class LidarOdometry:
             # unit-cell correspondence search on the map's OWN dedup lattice
             # (one point per cell by construction -> cap 1, no code checks);
             # static span bound: pruned map <= 2*map_radius, one un-pruned
-            # insert adds <= max_range reach -> single-lane u32 codes
-            span = 2.0 * (cfg.map_radius + cfg.max_range) / cfg.map_voxel + 8
+            # insert adds <= max_range reach -> single-lane u32 codes.
+            # The unit-cell formulation trades one big join for a ~311-offset
+            # ring of single-point cells — a win on the TPU's gather/sort
+            # cost model (PERF.md r4: 0.052 -> 0.203 scans/s) but 6x SLOWER
+            # on host CPU, whose sorts dominate; same results either way, so
+            # the backend picks its mechanism.
+            unit_cell = jax.default_backend() == "tpu"
+            span_cell = cfg.map_voxel if unit_cell else cfg.max_corr_dist
+            span = 2.0 * (cfg.map_radius + cfg.max_range) / span_cell + 8
             index_depth = max(int(np.ceil(np.log2(span))), 4)
             if 3 * index_depth > 31:
                 index_depth = None  # fall back to 16-bit two-lane codes
+            cell_cap = min(int(np.ceil(cfg.max_corr_dist / cfg.map_voxel) + 1) ** 3, 128)
 
             def run_icp(_):
                 res = point_to_plane_icp(
@@ -148,9 +156,10 @@ class LidarOdometry:
                     huber_delta=cfg.huber_delta,
                     damping=1e-4,
                     min_planarity=cfg.min_planarity,
+                    cell_cap=cell_cap,
                     index_depth=index_depth,
-                    cell_size=cfg.map_voxel,
-                    lattice_origin=cfg.map_origin,
+                    cell_size=cfg.map_voxel if unit_cell else None,
+                    lattice_origin=cfg.map_origin if unit_cell else None,
                 )
                 return res.R, res.t, res.rmse, res.inliers
 

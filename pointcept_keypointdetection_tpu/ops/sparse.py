@@ -759,12 +759,33 @@ def _unscatter_by_sort(qid: jnp.ndarray, values: jnp.ndarray, nq: int) -> jnp.nd
     return jax.lax.slice_in_dim(out, 0, nq)
 
 
+def _conv_impl() -> str:
+    """Conv mechanism: "xla" (gather im2col + matmul) or "pallas" (fused
+    VMEM-resident-table kernel, ops/pallas/sparse_conv.py).  Env
+    ``PKT_CONV_IMPL`` overrides; "auto" = xla (the measured default on the
+    relayed bench chip — flip per-backend when silicon says otherwise)."""
+    import os
+
+    impl = os.environ.get("PKT_CONV_IMPL", "auto")
+    return "xla" if impl == "auto" else impl
+
+
+def _pallas_conv_fits(n: int, cin: int, k: int, cout: int) -> bool:
+    # f32-cast feat table + weight + per-step blocks must fit VMEM (~16 MB/core)
+    table = (n + 1) * cin * 4
+    return jax.default_backend() == "tpu" and table < 13_500_000 and k * cin * cout * 4 < 2_000_000
+
+
 def _conv_apply(
     feat: jnp.ndarray, neighbor_idx: jnp.ndarray, weight: jnp.ndarray, im2col_max_width: int
 ) -> jnp.ndarray:
     """out[i] = sum_d feat[neighbor_idx[i, d]] @ weight[d] (f32 accumulate)."""
     n, cin = feat.shape
     k, _, cout = weight.shape
+    if _conv_impl() == "pallas" and _pallas_conv_fits(n, cin, k, cout):
+        from .pallas.sparse_conv import fused_subm_conv
+
+        return fused_subm_conv(feat, neighbor_idx, weight.astype(feat.dtype))
     weight = weight.astype(feat.dtype)
     feat_pad = jnp.concatenate([feat, jnp.zeros((1, cin), feat.dtype)], axis=0)
     if k * cin <= im2col_max_width:
@@ -816,11 +837,17 @@ def _subm_conv_sym_bwd(im2col_max_width, res, g):
     w_mirror = jnp.flip(weight, axis=0).transpose(0, 2, 1)
     dfeat = _conv_apply(g, neighbor_idx, w_mirror.astype(g.dtype), im2col_max_width)
     n, cin = feat.shape
-    feat_pad = jnp.concatenate([feat, jnp.zeros((1, cin), feat.dtype)], axis=0)
-    gathered = jnp.take(feat_pad, neighbor_idx, axis=0)  # [N, K, Cin]
-    dweight = jnp.einsum(
-        "nkc,nd->kcd", gathered, g, preferred_element_type=jnp.float32
-    ).astype(weight.dtype)
+    cout = g.shape[1]
+    if _conv_impl() == "pallas" and _pallas_conv_fits(n, cin, k, cout):
+        from .pallas.sparse_conv import fused_subm_conv_dw
+
+        dweight = fused_subm_conv_dw(feat, neighbor_idx, g).astype(weight.dtype)
+    else:
+        feat_pad = jnp.concatenate([feat, jnp.zeros((1, cin), feat.dtype)], axis=0)
+        gathered = jnp.take(feat_pad, neighbor_idx, axis=0)  # [N, K, Cin]
+        dweight = jnp.einsum(
+            "nkc,nd->kcd", gathered, g, preferred_element_type=jnp.float32
+        ).astype(weight.dtype)
     return dfeat.astype(feat.dtype), dweight, None
 
 

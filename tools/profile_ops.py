@@ -461,6 +461,38 @@ def main():
                 per, comp = timed(conv, (x, w))
                 print(f"subm conv k3 c={c} bf16 {path}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
 
+    if "pconv" in which:
+        # fused Pallas conv (VMEM-resident table) vs the XLA gather conv
+        from pointcept_keypointdetection_tpu.ops.pallas.sparse_conv import (
+            fused_subm_conv,
+        )
+
+        index = build_voxel_index(grid, batch, valid)
+        spec = SparseConvSpec.cube(3)
+        kmap = jax.jit(lambda: build_kernel_map(index, grid, batch, valid, spec))()
+        for c in (32, 64):
+            x = jnp.asarray(rng.normal(size=(N, c)), jnp.bfloat16)
+            w = jnp.asarray(rng.normal(size=(27, c, c)) * 0.05, jnp.float32)
+
+            @jax.jit
+            def conv_xla(x, w, salt):
+                y = x + salt.astype(x.dtype)
+                return jnp.sum(sparse_conv(y, kmap, w).astype(jnp.float32))
+
+            @jax.jit
+            def conv_pallas(x, w, salt):
+                y = x + salt.astype(x.dtype)
+                return jnp.sum(
+                    fused_subm_conv(y, kmap.neighbor_idx, w.astype(y.dtype)).astype(jnp.float32)
+                )
+
+            for name, f in (("xla", conv_xla), ("pallas", conv_pallas)):
+                try:
+                    per, comp = timed(f, (x, w))
+                    print(f"subm conv k3 c={c} bf16 {name}: {per*1e3:8.1f} ms (compile {comp:.1f}s)", flush=True)
+                except Exception as e:
+                    print(f"subm conv k3 c={c} bf16 {name}: FAILED {type(e).__name__}: {str(e).splitlines()[0][:140]}", flush=True)
+
     if "cellconv3" in which:
         # xCPE candidates at block channel widths: derived-map im2col conv vs
         # the cell-packed contraction (8 gathered cell rows/point instead of

@@ -70,7 +70,7 @@ def main():
     odo_cfg = OdometryConfig(dynamic_classes=dynamic, **{
         k: v for k, v in dict(cfg.odometry).items()
     })
-    slam_opts = dict(cfg.get("slam", {}))
+    slam_opts = dict(cfg.get("slam") or {})  # --options slam=None = odometry-only
     if slam_opts:
         # full back-end (config #4): keyframes + loop closure + pose graph
         from pointcept_keypointdetection_tpu.slam.semantic_slam import (

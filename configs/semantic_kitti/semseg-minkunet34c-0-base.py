@@ -2,4 +2,11 @@ _base_ = ["./semseg-spunet-v1m1-0-base.py"]
 # MinkUNet34C on SemanticKITTI (reference
 # configs/semantic_kitti/semseg-minkunet34c-0-base.py)
 
-model = dict(backbone=dict(type="MinkUNet34C"))
+model = dict(
+    backbone=dict(
+        _delete_=True,
+        type="MinkUNet34C",
+        in_channels=4,
+        num_classes=19,
+    ),
+)

@@ -3,6 +3,7 @@ from .structure import PointBatch
 from .norm import MaskedBatchNorm, LayerNorm, DropPath
 from . import default  # noqa: F401  (registers task wrappers)
 from . import sparse_unet  # noqa: F401
+from . import mink_unet  # noqa: F401
 from . import point_transformer_v3  # noqa: F401
 from . import point_transformer_v2  # noqa: F401
 from . import point_transformer  # noqa: F401

@@ -167,9 +167,6 @@ class InverseConvUp(nn.Module):
 @MODELS.register_module("SpUNet-v1m1")
 @MODELS.register_module("SpUNet-v1m2")  # BN-momentum variant: pass bn_momentum
 @MODELS.register_module("SpUNet-v1m3")  # PDNorm variant: pass pdnorm_conditions
-# MinkUNet34C is the identical U-Net topology on MinkowskiEngine
-# (`sparse_unet/mink_unet.py`); one gather-scatter implementation covers both.
-@MODELS.register_module("MinkUNet34C")
 class SpUNet(nn.Module):
     """MinkUNet-topology sparse U-Net over a PointBatch.
 

@@ -17,13 +17,16 @@
 _base_ = ["./synth_loop.py"]
 
 odometry = dict(
-    scan_capacity=24576,
-    map_capacity=196608,
+    # sized to the measured 0.6 m-voxel scan (17.7k pts) / 25 m-horizon map
+    # at 0.5 m cells; with max_corr_dist 1.0 the candidate ring is 27 cells
+    # (vs 64 at 1.2) — together ~3.5x less ICP work per frame on CPU
+    scan_capacity=16384,
+    map_capacity=131072,
     scan_voxel=0.6,
     map_voxel=0.5,
     icp_iters=4,
     knn_k=5,
-    max_corr_dist=1.2,
+    max_corr_dist=1.0,
     huber_delta=0.3,
     min_planarity=0.5,
     map_radius=25.0,
@@ -46,7 +49,7 @@ slam = dict(
     loop_descriptor=True,
     loop_desc_topk=2,
     loop_desc_min_sim=0.6,
-    loop_desc_corr_dist=2.5,
+    loop_desc_corr_dist=2.0,
 )
 
 save_path = "exp/slam/synth_loop_drift"

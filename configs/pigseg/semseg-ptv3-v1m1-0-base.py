@@ -9,7 +9,9 @@ slot_size = 32768
 eval_epoch = 100
 
 model = dict(
-    type="DefaultSegmentor",
+    type="DefaultSegmentorV2",
+    num_classes=num_classes,
+    backbone_out_channels=64,
     backbone=dict(
         type="PT-v3m1",
         in_channels=4,  # normal + curvature

@@ -2,12 +2,62 @@ _base_ = ["./semseg-spunet-v1m1-0-base.py"]
 # MinkUNet34C semseg (reference configs/scannet/semseg-minkunet34c-0-base.py).
 # Standalone ME-style ResNet U-Net (models/mink_unet.py): two-stage stem,
 # block stages at strides 2/4/8/16, full-res stem skip in the last decoder stage.
+#
+# Input features follow the reference MinkUNet ScanNet recipe: coord + color
+# + normal (in_channels=9), NOT the SpUNet base's color+normal (the r4 config
+# inherited the base pipeline's feat_keys and silently diverged — ADVICE r4).
+# Transform lists are replaced wholesale by the config merge, so the three
+# pipelines are restated with only Collect.feat_keys changed.
+
+_feat = ("coord", "color", "normal")
 
 model = dict(
     backbone=dict(
         _delete_=True,
         type="MinkUNet34C",
-        in_channels=6,
+        in_channels=9,
         num_classes=20,
+    ),
+)
+
+data = dict(
+    train=dict(
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="RandomDropout", dropout_ratio=0.2, dropout_application_ratio=0.2),
+            dict(type="RandomRotate", angle=[-1, 1], axis="z", center=[0, 0, 0], p=0.5),
+            dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="x", p=0.5),
+            dict(type="RandomRotate", angle=[-1 / 64, 1 / 64], axis="y", p=0.5),
+            dict(type="RandomScale", scale=[0.9, 1.1]),
+            dict(type="RandomFlip", p=0.5),
+            dict(type="RandomJitter", sigma=0.005, clip=0.02),
+            dict(type="ElasticDistortion", distortion_params=[[0.2, 0.4], [0.8, 1.6]]),
+            dict(type="ChromaticAutoContrast", p=0.2, blend_factor=None),
+            dict(type="ChromaticTranslation", p=0.95, ratio=0.05),
+            dict(type="ChromaticJitter", p=0.95, std=0.05),
+            dict(type="GridSample", grid_size=0.02, hash_type="fnv", mode="train", return_grid_coord=True),
+            dict(type="SphereCrop", point_max=100000, mode="random"),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="ShufflePoint"),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"), feat_keys=_feat),
+        ],
+    ),
+    val=dict(
+        transform=[
+            dict(type="CenterShift", apply_z=True),
+            dict(type="GridSample", grid_size=0.02, hash_type="fnv", mode="train", return_grid_coord=True),
+            dict(type="CenterShift", apply_z=False),
+            dict(type="NormalizeColor"),
+            dict(type="Collect", keys=("coord", "grid_coord", "segment"), feat_keys=_feat),
+        ],
+    ),
+    test=dict(
+        test_cfg=dict(
+            post_transform=[
+                dict(type="CenterShift", apply_z=False),
+                dict(type="Collect", keys=("coord", "grid_coord", "index"), feat_keys=_feat),
+            ],
+        ),
     ),
 )

@@ -9,7 +9,9 @@ mix_prob = 0.8
 eval_epoch = 50
 
 model = dict(
-    type="DefaultSegmentor",
+    type="DefaultSegmentorV2",
+    num_classes=num_classes,
+    backbone_out_channels=64,
     backbone=dict(
         type="PT-v3m1",
         in_channels=4,  # coord + strength

@@ -8,7 +8,9 @@ slot_size = 4096
 eval_epoch = 100
 
 model = dict(
-    type="DefaultSegmentor",
+    type="DefaultSegmentorV2",
+    num_classes=num_classes,
+    backbone_out_channels=32,
     backbone=dict(
         type="PT-v3m1",
         in_channels=6,  # coord + normal

@@ -17,9 +17,12 @@
 _base_ = ["./synth_loop.py"]
 
 odometry = dict(
-    # sized to the measured 0.6 m-voxel scan (17.7k pts) / 25 m-horizon map
-    # at 0.5 m cells; with max_corr_dist 1.0 the candidate ring is 27 cells
-    # (vs 64 at 1.2) — together ~3.5x less ICP work per frame on CPU
+    # scan_capacity 16384 deliberately UNDER the measured 0.6 m-voxel scan
+    # (~17.7k pts): pipeline.py randomly subsamples the ~7% overflow each
+    # frame — part of the intentional odometry degradation of this circuit
+    # (drift must dominate).  Map sized to the 25 m horizon at 0.5 m cells;
+    # with max_corr_dist 1.0 the candidate ring is 27 cells (vs 64 at 1.2)
+    # — together ~3.5x less ICP work per frame on CPU
     scan_capacity=16384,
     map_capacity=131072,
     scan_voxel=0.6,

@@ -34,6 +34,10 @@ class DefaultSegmentor(nn.Module):
     @nn.compact
     def __call__(self, point: PointBatch, batch: Dict[str, jnp.ndarray], train: bool = False):
         logits = build_model(dict(self.backbone))(point, train=train)
+        # recoverable with mutable=["intermediates"]: the SLAM place-
+        # recognition frontend pools this into a learned scan embedding
+        # (tools/run_slam.py); a dead store under plain apply()
+        self.sow("intermediates", "backbone_feat", logits)
         out = {"seg_logits": logits}
         if "segment" in batch and len(self.criteria) > 0:
             crit = build_criteria([dict(c) for c in self.criteria])
@@ -91,6 +95,9 @@ class DefaultSegmentorV2(nn.Module):
     @nn.compact
     def __call__(self, point: PointBatch, batch: Dict[str, jnp.ndarray], train: bool = False):
         feat = build_model(dict(self.backbone))(point, train=train)
+        # pre-head decoder features, recoverable with mutable=["intermediates"]
+        # (pooled into the SLAM frontend's learned scan embedding)
+        self.sow("intermediates", "backbone_feat", feat)
         logits = nn.Dense(self.num_classes, name="seg_head")(feat)
         out = {"seg_logits": logits}
         if "segment" in batch and len(self.criteria) > 0:

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _tile_rows(k: int) -> int:
     # SMEM holds the [T, K] index tile; keep it ~<=16 KB of int32
-    t = 4096 // max(k, 1)
+    t = max(4096 // max(k, 1), 1)  # clamp: k>4096 would make t=0 (1<<-1)
     t = 1 << (t.bit_length() - 1)
     return max(8, min(256, t))
 

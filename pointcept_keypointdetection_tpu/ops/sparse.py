@@ -763,10 +763,19 @@ def _conv_impl() -> str:
     """Conv mechanism: "xla" (gather im2col + matmul) or "pallas" (fused
     VMEM-resident-table kernel, ops/pallas/sparse_conv.py).  Env
     ``PKT_CONV_IMPL`` overrides; "auto" = xla (the measured default on the
-    relayed bench chip — flip per-backend when silicon says otherwise)."""
+    relayed bench chip — flip per-backend when silicon says otherwise).
+
+    The value is read at TRACE time: changing the env var after a conv has
+    been jitted/cached in this process has no effect on the cached
+    executable — set it before the first forward (bench.py does).  Unknown
+    values raise instead of silently falling through to the XLA path."""
     import os
 
     impl = os.environ.get("PKT_CONV_IMPL", "auto")
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(
+            f"PKT_CONV_IMPL={impl!r} — expected one of 'auto', 'xla', 'pallas'"
+        )
     return "xla" if impl == "auto" else impl
 
 

@@ -15,9 +15,11 @@ A keyframe descriptor has three (optionally weighted) parts:
   revisit.
 * semantic class histogram over the per-scan labels the SLAM loop already
   computes (the reference's `infer.py` contract), when available.
-* an optional LEARNED embedding: any caller-supplied vector, e.g. the
-  semseg backbone's masked-mean pooled features for the scan
-  (tools/run_slam.py wires this from the model it already runs).
+* an optional LEARNED embedding: any caller-supplied vector.
+  tools/run_slam.py wires this on the model-label path: the jitted semseg
+  forward additionally returns the masked-mean pooled backbone features
+  (sown as "backbone_feat" by the segmentor wrappers, models/default.py)
+  and passes them to SemanticSLAM.process(embedding=...) per scan.
 
 Yaw between a query and a matched keyframe is recovered by circular
 cross-correlation of azimuthal range profiles, giving ICP verification a

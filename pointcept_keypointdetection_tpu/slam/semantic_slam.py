@@ -87,8 +87,11 @@ class SemanticSLAM:
         # place-recognition frontend (descriptor per keyframe)
         self.descriptor_index = DescriptorIndex()
         self.descriptor_cfg = DescriptorConfig()
-        # optional learned embedding: scan [N, 3+] -> feature vector (e.g.
-        # pooled semseg backbone features; tools/run_slam.py wires this)
+        # learned scan embedding for the descriptor: preferred path is the
+        # per-frame ``embedding=`` argument of process() (tools/run_slam.py
+        # passes the masked-mean pooled semseg backbone features of the
+        # forward it already ran); embed_fn is the fallback hook for callers
+        # that want one computed lazily per keyframe (scan [N,3+] -> vector)
         self.embed_fn = None
         # per-frame anchor for retro-correction: (keyframe index, T_rel)
         # where T_rel = kf_T_then^-1 @ frame_T, both expressed in the world
@@ -107,13 +110,15 @@ class SemanticSLAM:
         angle = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
         return dt > self.cfg.keyframe_dist or angle > self.cfg.keyframe_angle
 
-    def _add_keyframe(self, R, t, scan, valid, labels=None):
+    def _add_keyframe(self, R, t, scan, valid, labels=None, embedding=None):
         cfg = self.cfg
         if len(self.kf_R) >= cfg.max_keyframes:
             return
         k = len(self.kf_R)
         if cfg.loop_closure and cfg.loop_descriptor:
-            emb = self.embed_fn(scan) if self.embed_fn is not None else None
+            emb = embedding
+            if emb is None and self.embed_fn is not None:
+                emb = self.embed_fn(scan)
             desc, profile = scan_descriptor(scan, labels, emb, self.descriptor_cfg)
             self.descriptor_index.add(desc, profile)
         if k > 0:
@@ -250,13 +255,18 @@ class SemanticSLAM:
         self.odo._t = jnp.asarray(corr_R @ cur_t + corr_t)
 
     # -- main entry ------------------------------------------------------
-    def process(self, scan: np.ndarray, labels: Optional[np.ndarray] = None) -> np.ndarray:
+    def process(
+        self,
+        scan: np.ndarray,
+        labels: Optional[np.ndarray] = None,
+        embedding: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
         pose = self.odo.process(scan, labels)
         R, t = pose[:3, :3].astype(np.float32), pose[:3, 3].astype(np.float32)
         n_kf = len(self.kf_R)
         if self._is_keyframe(R, t):
             pts = scan[:, :3].astype(np.float32)
-            self._add_keyframe(R, t, pts, np.isfinite(pts).all(1), labels)
+            self._add_keyframe(R, t, pts, np.isfinite(pts).all(1), labels, embedding)
         if len(self.kf_R) > n_kf:
             # anchor = identity on the new keyframe (its stored pose IS this
             # frame's pose; _add_keyframe may immediately optimize the graph,

@@ -260,3 +260,66 @@ save_path = {str(tmp_path / 'exp')!r}
     ate = float(out.split("ATE RMSE:")[1].split("m")[0])
     assert ate < 0.5, out
     assert (tmp_path / "exp" / "traj_00.txt").exists()
+
+
+def test_model_label_path_wires_learned_embedding(rng, tmp_path):
+    """tools/run_slam.py's model-label path returns (labels, learned
+    embedding) per scan — the embedding being the masked-mean pooled backbone
+    features sown by the segmentor wrapper — and SemanticSLAM.process threads
+    it into the keyframe place-recognition descriptor (VERDICT r4 item 2;
+    frontend docstring contract)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import run_slam
+
+    from pointcept_keypointdetection_tpu.utils.config import Config
+
+    sem_cfg = tmp_path / "sem.py"
+    sem_cfg.write_text(
+        """
+model = dict(
+    type="DefaultSegmentor",
+    backbone=dict(
+        type="SpUNet-v1m1",
+        in_channels=4,  # coord + strength (run_slam's per-scan featurization)
+        num_classes=6,
+        base_channels=8,
+        channels=(8, 8, 8, 8, 8, 8, 8, 8),
+        layers=(1, 1, 1, 1, 1, 1, 1, 1),
+        stem_kernel=3,
+        bn_momentum=0.1,
+    ),
+)
+"""
+    )
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        f"""
+semantic = dict(
+    enabled=True, labels_from="model", config={str(sem_cfg)!r}, weight=None,
+    slot=4096, dynamic_classes=(),
+)
+"""
+    )
+    infer = run_slam._build_semseg(Config.fromfile(str(cfg)))
+    world = _structured_world(rng, n=3000)
+    scan = np.concatenate([world, np.ones((len(world), 1), np.float32)], 1)
+    labels, emb = infer(scan)
+    assert labels.shape == (len(scan),)
+    assert emb.ndim == 1 and emb.shape[0] == 6  # backbone_feat dim
+    assert np.isfinite(emb).all() and np.abs(emb).sum() > 0
+
+    slam_cfg = SlamConfig(
+        odometry=OdometryConfig(
+            scan_capacity=2048, map_capacity=8192, scan_voxel=0.4, map_voxel=0.4,
+            icp_iters=2, max_corr_dist=1.5, min_range=0.0, max_range=60.0,
+            map_origin=(-60.0, -60.0, -20.0), map_radius=120.0,
+        ),
+        keyframe_scan_size=512,
+    )
+    slam = SemanticSLAM(slam_cfg)
+    slam.process(scan, labels, embedding=emb)
+    dcfg = slam.descriptor_cfg
+    base = dcfg.range_bins * dcfg.height_bins + dcfg.num_classes
+    assert len(slam.descriptor_index.descriptor(0)) == base + emb.shape[0]

@@ -145,3 +145,30 @@ def test_loop_closure_under_drift_beyond_pose_gate(rng):
     slam._optimize_graph()
     ate_after, _ = absolute_trajectory_error(np.stack(slam.kf_t), gt, align=False)
     assert ate_after < ate_before * 0.5, (ate_before, ate_after)
+
+
+def test_embedding_breaks_geometric_semantic_tie(rng):
+    """Two keyframes with IDENTICAL geometry and labels tie exactly in the
+    index; the learned embedding part resolves the ranking toward the
+    keyframe whose embedding matches the query (VERDICT r4 item 2)."""
+    scan = _place(rng, 1)
+    labels = np.zeros(len(scan), np.int32)
+    e1 = np.array([1.0, 0.0, 0.0])
+    e2 = np.array([0.0, 1.0, 0.0])
+
+    idx0 = DescriptorIndex()
+    for _ in range(2):
+        d, p = scan_descriptor(scan, labels)
+        idx0.add(d, p)
+    q0, _ = scan_descriptor(scan, labels)
+    hits0 = idx0.query(q0, max_index=2, topk=2)
+    assert abs(hits0[0][1] - hits0[1][1]) < 1e-6  # geometry+semantics tie
+
+    idx = DescriptorIndex()
+    for e in (e1, e2):
+        d, p = scan_descriptor(scan, labels, e)
+        idx.add(d, p)
+    q, _ = scan_descriptor(scan, labels, e2)
+    hits = idx.query(q, max_index=2, topk=2)
+    assert hits[0][0] == 1, hits
+    assert hits[0][1] > hits[1][1] + 0.05

@@ -61,7 +61,7 @@ def main():
 
             def label_fn(path, scan):
                 lbl = path.replace(os.sep + "velodyne" + os.sep, os.sep + "labels" + os.sep)
-                return read_label(lbl[: -len(".bin")] + ".label")
+                return read_label(lbl[: -len(".bin")] + ".label"), None
 
         else:
             semantic_infer = _build_semseg(cfg)
@@ -85,8 +85,13 @@ def main():
     t0 = time.time()
     for i, path in enumerate(scans):
         scan = read_scan(path)
-        labels = label_fn(path, scan) if label_fn else None
-        engine.process(scan, labels)
+        labels, embedding = label_fn(path, scan) if label_fn else (None, None)
+        if slam_opts:
+            # the learned scan embedding (pooled semseg backbone features)
+            # joins the keyframe place-recognition descriptor
+            engine.process(scan, labels, embedding=embedding)
+        else:
+            engine.process(scan, labels)
         if (i + 1) % 50 == 0:
             print(f"[{i + 1}/{len(scans)}] {(i + 1) / (time.time() - t0):.2f} scans/s")
     elapsed = time.time() - t0
@@ -135,7 +140,7 @@ def _build_semseg(cfg):
 
     sem_cfg = Config.fromfile(cfg.semantic.config)
     model = build_model(dict(sem_cfg.model))
-    slot = 131072
+    slot = int(cfg.semantic.get("slot", 131072))
     state = {"vars": None, "fwd": None}
 
     def infer(scan):
@@ -146,8 +151,8 @@ def _build_semseg(cfg):
         from pointcept_keypointdetection_tpu.ops.serialization import z_order_encode_np
 
         key = z_order_encode_np(np.minimum(grid, 2**16 - 1), 16)
-        _, inv, first = np.unique(key, return_inverse=True, return_index=True)
-        sel = first
+        # np.unique returns (values, first_index, inverse) in THIS order
+        _, sel, inv = np.unique(key, return_index=True, return_inverse=True)
         data = dict(
             coord=coord[sel].astype(np.float32),
             grid_coord=grid[sel].astype(np.int32),
@@ -175,11 +180,22 @@ def _build_semseg(cfg):
 
             def fwd(v, b):
                 point = build_point_batch(b, 1)
-                return jnp.argmax(model.apply(v, point, b, train=False)["seg_logits"], -1)
+                out, mods = model.apply(
+                    v, point, b, train=False, mutable=["intermediates"]
+                )
+                pred = jnp.argmax(out["seg_logits"], -1)
+                # learned scan embedding for the SLAM place-recognition
+                # frontend (slam/frontend.py): masked mean pool of the
+                # backbone features the forward already computed
+                feat = mods["intermediates"]["backbone_feat"][0]
+                w = point.valid.astype(feat.dtype)[:, None]
+                emb = (feat * w).sum(0) / jnp.maximum(w.sum(), 1.0)
+                return pred, emb.astype(jnp.float32)
 
             state["fwd"] = jax.jit(fwd)
-        pred = np.asarray(state["fwd"](state["vars"], dev))[:n]
-        return pred[inv]  # back to full resolution
+        pred, emb = state["fwd"](state["vars"], dev)
+        pred = np.asarray(pred)[:n]
+        return pred[inv], np.asarray(emb)  # labels back at full resolution
 
     return infer
 

@@ -54,6 +54,9 @@ def _emit(scenes_per_sec, unit_suffix=""):
     stem = os.environ.get("PKT_BENCH_STEM", "5")
     attn = os.environ.get("PKT_BENCH_ATTN", "pallas")
     workload = f"patch {patch}, k={stem} stem, {attn} attn"
+    conv = os.environ.get("PKT_CONV_IMPL")
+    if conv and conv != "auto":
+        workload += f", {conv} conv"
     print(
         json.dumps(
             {
@@ -82,8 +85,11 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _run_bench():
-    _enable_compile_cache()
+def _build_workload():
+    """(model, variables, point, fwd_fn, meta) — the exact bench forward.
+
+    Shared by the timed measurement and ``forward_cost_analysis`` (the
+    tools/project_v5e.py FLOP cross-check)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -170,13 +176,43 @@ def _run_bench():
         logits = model.apply(variables, pt, {}, train=False)["seg_logits"]
         return jnp.sum(logits.astype(jnp.float32))
 
+    meta = dict(B=B, S=S, patch=patch, stem_k=stem_k, backbone=backbone)
+    return model, variables, point, fwd_fn, meta
+
+
+def forward_cost_analysis():
+    """XLA cost_analysis of the compiled bench forward (flops/bytes totals) —
+    the cross-check anchor for tools/project_v5e.py's analytic table."""
+    import jax
+    import jax.numpy as jnp
+
+    _, variables, point, fwd_fn, _ = _build_workload()
+    compiled = jax.jit(fwd_fn).lower(variables, point, jnp.float32(0.0)).compile()
+    ca = compiled.cost_analysis()
+    return ca[0] if isinstance(ca, (list, tuple)) else ca
+
+
+def _run_bench():
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    model, variables, point, fwd_fn, meta = _build_workload()
+    B, S, patch, stem_k, backbone = (
+        meta["B"], meta["S"], meta["patch"], meta["stem_k"], meta["backbone"]
+    )
+
     # executable cache: trace+lower+compile once per (source tree, workload),
     # then load the compiled binary in ~seconds — the JAX compilation cache
     # alone still cost ~200 s/run loading large entries through the relay
     from pointcept_keypointdetection_tpu.utils.aot_cache import cached_jit
 
     t0 = time.perf_counter()
-    workload = f"B{B} S{S} patch{patch} stem{stem_k} {backbone['attn_impl']} {backbone['kmap_mode']} {backbone['chain_cpe0']} {backbone['stem_conv']}"
+    workload = (
+        f"B{B} S{S} patch{patch} stem{stem_k} {backbone['attn_impl']} "
+        f"{backbone['kmap_mode']} {backbone['chain_cpe0']} {backbone['stem_conv']} "
+        f"conv={os.environ.get('PKT_CONV_IMPL', 'auto')}"
+    )
     fwd_scalar = cached_jit(fwd_fn, (variables, point, jnp.float32(0.0)), key_extra=workload)
     float(fwd_scalar(variables, point, jnp.float32(0.0)))  # (compile+)first
     print(f"# forward compile+first in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
@@ -217,10 +253,38 @@ def _spawn_child(extra_env):
     return proc.returncode, json_line, proc.stderr
 
 
+def _maybe_project():
+    """--project-v5e / PKT_BENCH_PROJECT=1: print the per-op-class real-
+    silicon projection (tools/project_v5e.py) to stderr alongside the
+    measured number.  Pure static-shape arithmetic — no device work."""
+    if "--project-v5e" not in sys.argv and not os.environ.get("PKT_BENCH_PROJECT"):
+        return
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import project_v5e
+
+        project_v5e.project(out=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        print(f"# v5e projection failed: {exc}", file=sys.stderr)
+
+
 def main():
     if os.environ.get(_CHILD_ENV):
         _run_bench()
         return
+
+    # PKT_CONV_IMPL=pallas (VERDICT r4 item 9): measure the fused Pallas conv
+    # AND the xla default, so the kernel's economics are re-checked for free
+    # whenever the backend changes; the env-selected variant is the official
+    # JSON line, the other is a stderr comment.
+    conv = os.environ.get("PKT_CONV_IMPL")
+    if conv and conv not in ("auto", "xla"):
+        try:
+            rc, other_json, _ = _spawn_child({"PKT_CONV_IMPL": "xla"})
+            if rc == 0 and other_json:
+                print(f"# comparison [PKT_CONV_IMPL=xla]: {other_json}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# xla comparison failed: {exc}", file=sys.stderr)
 
     deadline = time.time() + float(os.environ.get("PKT_BENCH_RETRY_BUDGET", "1800"))
     backoff = 30.0
@@ -233,6 +297,7 @@ def main():
             rc, json_line, stderr = 1, None, "child timeout"
         if rc == 0 and json_line:
             print(json_line, flush=True)
+            _maybe_project()
             return
         retryable = any(sig in stderr for sig in _RETRYABLE)
         print(
@@ -254,6 +319,7 @@ def main():
         )
         if rc == 0 and json_line:
             print(json_line, flush=True)
+            _maybe_project()
             return
     except Exception as exc:  # noqa: BLE001
         print(f"# CPU fallback failed: {exc}", file=sys.stderr)

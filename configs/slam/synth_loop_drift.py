@@ -17,17 +17,19 @@
 _base_ = ["./synth_loop.py"]
 
 odometry = dict(
-    # scan_capacity 16384 deliberately UNDER the measured 0.6 m-voxel scan
-    # (~17.7k pts): pipeline.py randomly subsamples the ~7% overflow each
-    # frame — part of the intentional odometry degradation of this circuit
-    # (drift must dominate).  Map sized to the 25 m horizon at 0.5 m cells;
-    # with max_corr_dist 1.0 the candidate ring is 27 cells (vs 64 at 1.2)
-    # — together ~3.5x less ICP work per frame on CPU
-    scan_capacity=16384,
-    map_capacity=131072,
-    scan_voxel=0.6,
-    map_voxel=0.5,
-    icp_iters=4,
+    # DELIBERATELY degraded odometry so drift dominates (the r4 settings
+    # still tracked to 0.090 m ATE — not the drift regime this config
+    # exists for).  0.9/0.7 m voxels are past the measured density cliff
+    # (5-NN plane fits mix surfaces at >=0.5 m neighbor spacing, PERF.md
+    # r3), 3 ICP iters under-converge, and the 8k scan capacity randomly
+    # subsamples the scan — measured odometry-only result on this circuit:
+    # ATE 3.03 m / RPE@10 2.72 m over the 210 m lap (r5), ~30x the
+    # keyframe-scan loop-closure noise floor (~0.1 m).
+    scan_capacity=8192,
+    map_capacity=65536,
+    scan_voxel=0.9,
+    map_voxel=0.7,
+    icp_iters=3,
     knn_k=5,
     max_corr_dist=1.0,
     huber_delta=0.3,
@@ -53,6 +55,15 @@ slam = dict(
     loop_desc_topk=2,
     loop_desc_min_sim=0.6,
     loop_desc_corr_dist=2.0,
+    # perceptual-aliasing defense (measured r5: the stadium's two straights
+    # alias — descriptor candidates on the WRONG straight pass local ICP
+    # with thousands of inliers; 55 such edges exploded the graph to 12.7 m
+    # ATE).  A loop edge's implied correction must be explicable by odometry
+    # drift over its chain: base 1 m + 10%/m — true revisits on this circuit
+    # imply ~3-5 m corrections (within budget), cross-field teleports ~32 m
+    # (rejected).
+    loop_drift_rate=0.10,
+    loop_drift_base=1.0,
 )
 
 save_path = "exp/slam/synth_loop_drift"

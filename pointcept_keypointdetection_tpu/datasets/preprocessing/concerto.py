@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import math
 import os
 from typing import Optional, Sequence, Tuple
 
@@ -154,6 +155,205 @@ def _finalize_scene(
     np.save(os.path.join(asset_dir, "images.npy"), images)
     np.save(os.path.join(asset_dir, "correspondence.npy"), corr)
     return len(keep)
+
+
+def quat_to_rotmat(qw: float, qx: float, qy: float, qz: float) -> np.ndarray:
+    """Unit-quaternion (w, x, y, z) -> 3x3 rotation matrix."""
+    n = math.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+    qw, qx, qy, qz = qw / n, qx / n, qy / n, qz / n
+    return np.array(
+        [
+            [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw), 2 * (qx * qz + qy * qw)],
+            [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qx * qw)],
+            [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw), 1 - 2 * (qx * qx + qy * qy)],
+        ],
+        np.float64,
+    )
+
+
+def axis_angle_to_rotmat(r: np.ndarray) -> np.ndarray:
+    """Rodrigues: axis-angle vector [3] -> 3x3 rotation matrix."""
+    theta = float(np.linalg.norm(r))
+    if theta < 1e-12:
+        return np.eye(3)
+    k = np.asarray(r, np.float64) / theta
+    K = np.array(
+        [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]], np.float64
+    )
+    return np.eye(3) + math.sin(theta) * K + (1 - math.cos(theta)) * (K @ K)
+
+
+def load_colmap_model(sfm_dir: str):
+    """Parse a COLMAP TEXT model -> {image_name: (intrinsic 3x3, c2w 4x4)}.
+
+    The ScanNet++ DSLR layout (reference
+    `concerto/scannetpp/preprocess_scannetpp.py:40-120`): ``images.txt`` rows
+    are ``IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME`` in WORLD->CAMERA
+    convention (inverted here to camera-to-world); ``cameras.txt`` rows are
+    ``CAMERA_ID MODEL W H <params>`` with params fx fy cx cy for PINHOLE /
+    OPENCV (distortion coefficients ignored — feed undistorted frames, as the
+    reference does) and f cx cy for SIMPLE_PINHOLE / SIMPLE_RADIAL.
+    """
+    cams = {}
+    with open(os.path.join(sfm_dir, "cameras.txt")) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            cam_id, model = parts[0], parts[1]
+            p = [float(x) for x in parts[4:]]
+            if model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL"):
+                fx = fy = p[0]
+                cx, cy = p[1], p[2]
+            else:  # PINHOLE, OPENCV, OPENCV_FISHEYE, ...
+                fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+            cams[cam_id] = np.array(
+                [[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64
+            )
+    frames = {}
+    with open(os.path.join(sfm_dir, "images.txt")) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) < 10 or "." not in parts[9]:
+                continue  # the alternating POINTS2D lines
+            qw, qx, qy, qz = (float(x) for x in parts[1:5])
+            t = np.array([float(x) for x in parts[5:8]], np.float64)
+            cam_id, name = parts[8], parts[9]
+            w2c = np.eye(4)
+            w2c[:3, :3] = quat_to_rotmat(qw, qx, qy, qz)
+            w2c[:3, 3] = t
+            frames[name] = (cams[cam_id], np.linalg.inv(w2c))
+    return frames
+
+
+def load_arkit_traj(traj_path: str):
+    """ARKitScenes ``lowres_wide.traj`` -> {timestamp(str, 3dp): c2w 4x4}.
+
+    Rows are ``ts rx ry rz tx ty tz`` with axis-angle rotation, WORLD->CAMERA
+    (reference `concerto/arkitscenes/preprocess_arkitscenes.py:112-130`
+    inverts them the same way); keys are the timestamp rounded to 3 decimals,
+    matching the ``<video_id>_<ts>.png`` frame naming.
+    """
+    out = {}
+    with open(traj_path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 7:
+                continue
+            ts = f"{float(parts[0]):.3f}"
+            w2c = np.eye(4)
+            w2c[:3, :3] = axis_angle_to_rotmat(np.array([float(x) for x in parts[1:4]]))
+            w2c[:3, 3] = [float(x) for x in parts[4:7]]
+            out[ts] = np.linalg.inv(w2c)
+    return out
+
+
+def load_pincam(path: str) -> np.ndarray:
+    """ARKit ``.pincam`` intrinsics file: ``w h fx fy cx cy`` -> 3x3."""
+    w, h, fx, fy, cx, cy = [float(x) for x in open(path).read().split()]
+    return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+
+
+def process_scene_frames(
+    asset_dir: str,
+    frames,
+    max_images: int = 8,
+    depth_tol: float = 0.05,
+    splat_downscale: int = 4,
+) -> int:
+    """Generic scene export: ``frames`` yields (color ndarray [H,W,3],
+    intrinsic 3x3, c2w pose 4x4, depth ndarray|None, depth_shift).  Without a
+    sensor depth, occlusion uses the point-splatted buffer.  Used by the
+    COLMAP (ScanNet++) and ARKit adapters."""
+    coord = np.load(os.path.join(asset_dir, "coord.npy")).astype(np.float64)
+    colors, corrs = [], []
+    for color, intrinsic, pose, depth, shift in frames:
+        h, w = color.shape[:2]
+        if depth is None:
+            depth = splat_depth_buffer(
+                coord, intrinsic, pose, (h, w), downscale=splat_downscale
+            )
+            shift = 1.0
+        corr = project_points(
+            coord, intrinsic, pose, (h, w),
+            depth=depth, depth_shift=shift, depth_tol=depth_tol,
+        )
+        colors.append(np.asarray(color))
+        corrs.append(corr)
+    return _finalize_scene(asset_dir, coord, colors, corrs, max_images)
+
+
+def process_scene_colmap(
+    scene_dir: str,
+    asset_dir: str,
+    frame_gap: int = 5,
+    max_images: int = 8,
+    depth_tol: float = 0.05,
+    sfm_subdir: str = "colmap",
+    image_subdir: str = "undistorted_images",
+) -> int:
+    """ScanNet++-style COLMAP scene (``<scene>/colmap/{cameras,images}.txt`` +
+    undistorted frames) -> image/correspondence assets."""
+    from PIL import Image
+
+    model = load_colmap_model(os.path.join(scene_dir, sfm_subdir))
+    names = sorted(model)[::frame_gap]
+
+    def gen():
+        for name in names:
+            img_path = os.path.join(scene_dir, image_subdir, name)
+            if not os.path.exists(img_path):
+                continue
+            intrinsic, pose = model[name]
+            yield np.asarray(Image.open(img_path).convert("RGB")), intrinsic, pose, None, 1.0
+
+    return process_scene_frames(asset_dir, gen(), max_images, depth_tol)
+
+
+def process_scene_arkit(
+    scene_dir: str,
+    asset_dir: str,
+    frame_gap: int = 10,
+    max_images: int = 8,
+    depth_tol: float = 0.05,
+) -> int:
+    """ARKitScenes scene (``lowres_wide/`` frames, ``lowres_wide_intrinsics/``
+    .pincam files, ``lowres_wide.traj``) -> image/correspondence assets.
+    Depth frames in ``lowres_depth/`` (mm PNGs) are used when present."""
+    from PIL import Image
+
+    traj = load_arkit_traj(os.path.join(scene_dir, "lowres_wide.traj"))
+    frames = sorted(glob.glob(os.path.join(scene_dir, "lowres_wide", "*.png")))[::frame_gap]
+
+    def gen():
+        for fp in frames:
+            stem = os.path.splitext(os.path.basename(fp))[0]
+            ts = stem.split("_")[-1]
+            key = f"{float(ts):.3f}"
+            if key not in traj:
+                continue
+            pincam = os.path.join(scene_dir, "lowres_wide_intrinsics", stem + ".pincam")
+            if not os.path.exists(pincam):
+                continue
+            depth_path = os.path.join(scene_dir, "lowres_depth", os.path.basename(fp))
+            depth = (
+                np.asarray(Image.open(depth_path)).astype(np.float32)
+                if os.path.exists(depth_path)
+                else None
+            )
+            yield (
+                np.asarray(Image.open(fp).convert("RGB")),
+                load_pincam(pincam),
+                traj[key],
+                depth,
+                1000.0,
+            )
+
+    return process_scene_frames(asset_dir, gen(), max_images, depth_tol)
 
 
 def process_scene_sens(
@@ -291,6 +491,8 @@ def main():
     parser.add_argument("--frame_gap", type=int, default=75)
     parser.add_argument("--max_images", type=int, default=8)
     parser.add_argument("--depth_tol", type=float, default=0.05)
+    parser.add_argument("--sfm_subdir", default="colmap", help="COLMAP text-model subdir (ScanNet++ scenes)")
+    parser.add_argument("--image_subdir", default="undistorted_images", help="frame subdir for COLMAP scenes")
     args = parser.parse_args()
 
     asset_dirs = {
@@ -316,17 +518,38 @@ def main():
         done += 1
     for scene_dir in sorted(glob.glob(os.path.join(args.dataset_root, "*"))):
         scene_id = os.path.basename(scene_dir)
-        if scene_id not in asset_dirs or not os.path.isdir(
-            os.path.join(scene_dir, "color")
-        ):
+        if scene_id not in asset_dirs:
             continue
-        v = process_scene_dirs(
-            scene_dir,
-            asset_dirs[scene_id],
-            frame_gap=args.frame_gap,
-            max_images=args.max_images,
-            depth_tol=args.depth_tol,
-        )
+        if os.path.isdir(os.path.join(scene_dir, "color")):
+            v = process_scene_dirs(
+                scene_dir,
+                asset_dirs[scene_id],
+                frame_gap=args.frame_gap,
+                max_images=args.max_images,
+                depth_tol=args.depth_tol,
+            )
+        elif os.path.exists(os.path.join(scene_dir, args.sfm_subdir, "cameras.txt")):
+            # ScanNet++-style COLMAP scene
+            v = process_scene_colmap(
+                scene_dir,
+                asset_dirs[scene_id],
+                frame_gap=args.frame_gap,
+                max_images=args.max_images,
+                depth_tol=args.depth_tol,
+                sfm_subdir=args.sfm_subdir,
+                image_subdir=args.image_subdir,
+            )
+        elif os.path.exists(os.path.join(scene_dir, "lowres_wide.traj")):
+            # ARKitScenes scene
+            v = process_scene_arkit(
+                scene_dir,
+                asset_dirs[scene_id],
+                frame_gap=args.frame_gap,
+                max_images=args.max_images,
+                depth_tol=args.depth_tol,
+            )
+        else:
+            continue
         print(f"{scene_id}: {v} views")
         done += 1
     print(f"processed {done} scenes")

@@ -68,7 +68,18 @@ def create_label(frame, range_images, segmentation_labels):
     return np.concatenate(labels, axis=0)
 
 
-def handle_segment(path, output_root, split):
+def load_test_set_frames(path):
+    """Official 3D-semseg test-set frame list: lines of
+    ``<context_name>,<timestamp_micros>`` (the reference ships this as
+    ``preprocessing/waymo/3d_semseg_test_set_frames.txt`` and filters the
+    testing split to exactly those 2982 frames,
+    `preprocess_waymo.py:371-375`; the list itself is published by the Waymo
+    open-dataset challenge — pass it via --test_frame_file)."""
+    with open(path) as f:
+        return {line.strip() for line in f if line.strip()}
+
+
+def handle_segment(path, output_root, split, test_frames=None):
     print(f"processing {os.path.basename(path)}")
     dataset = tf.data.TFRecordDataset(path, compression_type="")
     for data in dataset:
@@ -77,6 +88,10 @@ def handle_segment(path, output_root, split):
         # only frames carrying segmentation labels matter for semseg
         if split != "testing" and not frame.lasers[0].ri_return1.segmentation_label_compressed:
             continue
+        if split == "testing" and test_frames is not None:
+            key = f"{frame.context.name},{frame.timestamp_micros}"
+            if key not in test_frames:
+                continue
         points, range_images, seg_labels, _ = create_lidar(frame)
         name = f"{frame.context.name}_{frame.timestamp_micros}"
         out = os.path.join(output_root, split, name)
@@ -95,6 +110,12 @@ def main():
     ap.add_argument("--output_root", required=True)
     ap.add_argument("--splits", nargs="+", default=["training", "validation"])
     ap.add_argument("--num_workers", type=int, default=4)
+    ap.add_argument(
+        "--test_frame_file",
+        default=None,
+        help="official 3d_semseg_test_set_frames.txt (context,timestamp per "
+        "line); required to restrict the testing split to submission frames",
+    )
     args = ap.parse_args()
 
     if tf is None:
@@ -102,11 +123,22 @@ def main():
             "waymo-open-dataset / tensorflow not installed. Create a separate "
             "venv (`pip install waymo-open-dataset-tf-2-11-0`) and re-run."
         )
+    test_frames = (
+        load_test_set_frames(args.test_frame_file) if args.test_frame_file else None
+    )
+    if "testing" in args.splits and test_frames is None:
+        print("WARNING: testing split without --test_frame_file exports ALL frames")
     for split in args.splits:
         records = sorted(glob.glob(os.path.join(args.dataset_root, split, "*.tfrecord*")))
         print(f"{split}: {len(records)} segments")
         with ProcessPoolExecutor(max_workers=args.num_workers) as pool:
-            list(pool.map(handle_segment, records, repeat(args.output_root), repeat(split)))
+            list(pool.map(
+                handle_segment,
+                records,
+                repeat(args.output_root),
+                repeat(split),
+                repeat(test_frames),
+            ))
 
 
 if __name__ == "__main__":

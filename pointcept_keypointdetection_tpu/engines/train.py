@@ -237,13 +237,15 @@ class Trainer(TrainerBase):
         if remat:
             forward_loss = jax.checkpoint(forward_loss, static_argnums=(3,))
 
-        def train_step(state: TrainState, batch, num_samples: int):
-            rng = jax.random.fold_in(state.rng, state.step)
+        def compute_grads(params, batch_stats, batch, num_samples: int, rng):
+            """(loss, grads, new_batch_stats, scalar_metrics) over `batch`.
 
+            Used directly under GSPMD jit, or per-shard inside the shard_map
+            train step (where `batch`/`num_samples` are the local shard)."""
             if accum <= 1:
                 drop_rng, shuffle_rng = jax.random.split(rng)
                 (loss, (new_bs, out)), grads = jax.value_and_grad(forward_loss, has_aux=True)(
-                    state.params, state.batch_stats, batch, num_samples, drop_rng, shuffle_rng
+                    params, batch_stats, batch, num_samples, drop_rng, shuffle_rng
                 )
             else:
                 # micro-batch the sample slots (parity: loss/accum + deferred
@@ -263,19 +265,79 @@ class Trainer(TrainerBase):
                     mb, key = inputs
                     drop_rng, shuffle_rng = jax.random.split(key)
                     (loss, (new_bs, _)), grads = jax.value_and_grad(forward_loss, has_aux=True)(
-                        state.params, bs, mb, micro_b, drop_rng, shuffle_rng
+                        params, bs, mb, micro_b, drop_rng, shuffle_rng
                     )
                     grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                     return (grads_acc, loss_acc + loss, new_bs), None
 
-                zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
                 keys = jax.random.split(rng, accum)
                 (grads, loss, new_bs), _ = jax.lax.scan(
-                    micro_step, (zero_grads, jnp.zeros(()), state.batch_stats), (micro_batches, keys)
+                    micro_step, (zero_grads, jnp.zeros(()), batch_stats), (micro_batches, keys)
                 )
                 grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
                 loss = loss / accum
                 out = {}
+            metrics = {
+                k: v
+                for k, v in out.items()
+                if k != "loss" and isinstance(v, jnp.ndarray) and v.ndim == 0
+            }
+            return loss, grads, new_bs, metrics
+
+        # shard_map over the data axis: the model body runs PER SHARD, making
+        # the serialization sorts manifestly sample-local — under plain GSPMD
+        # XLA cannot prove batch-prefixed sort keys don't cross samples and
+        # inserts per-sort all-gathers (~3.2 MB/step at dryrun scale, ~100 MB
+        # at production scale; MULTICHIP_r04/PERF.md r4).  Gradients/loss are
+        # pmean'd (DDP semantics, `engines/defaults.py:22-43`); batch-stat
+        # sites psum their statistics internally (models/norm.py), so
+        # batch_stats leave the shard_map replicated.
+        use_shard_map = bool(self.cfg.get("shard_map_model", True))
+        mesh = self.mesh
+        n_data = int(mesh.shape["data"])
+        P = jax.sharding.PartitionSpec
+
+        def sharded_compute_grads(params, batch_stats, batch, num_samples: int, rng):
+            local_ns = num_samples // n_data
+
+            def shard_fn(params, batch_stats, batch, rng):
+                # distinct per-shard dropout/shuffle streams
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+                loss, grads, new_bs, metrics = compute_grads(
+                    params, batch_stats, batch, local_ns, rng
+                )
+                loss = jax.lax.pmean(loss, "data")
+                grads = jax.lax.pmean(grads, "data")
+                metrics = {k: jax.lax.pmean(v, "data") for k, v in metrics.items()}
+                return loss, grads, new_bs, metrics
+
+            # replicate small per-sample arrays the same way shard_batch does
+            batch_specs = {
+                k: P("data") if v.ndim > 0 and v.shape[0] % n_data == 0 else P()
+                for k, v in batch.items()
+            }
+            return jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(), P(), batch_specs, P()),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False,
+            )(params, batch_stats, batch, rng)
+
+        def train_step(state: TrainState, batch, num_samples: int):
+            rng = jax.random.fold_in(state.rng, state.step)
+
+            shardable = (
+                use_shard_map
+                and n_data > 1
+                and num_samples % n_data == 0
+                and (accum <= 1 or (num_samples // n_data) % accum == 0)
+            )
+            grad_fn = sharded_compute_grads if shardable else compute_grads
+            loss, grads, new_bs, out = grad_fn(
+                state.params, state.batch_stats, batch, num_samples, rng
+            )
 
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
@@ -303,10 +365,7 @@ class Trainer(TrainerBase):
             new_state = state.replace(
                 step=state.step + 1, params=new_params, batch_stats=new_bs, opt_state=new_opt
             )
-            metrics = {"loss": loss}
-            for key, value in out.items():
-                if key != "loss" and isinstance(value, jnp.ndarray) and value.ndim == 0:
-                    metrics[key] = value
+            metrics = {"loss": loss, **out}
             return new_state, metrics
 
         return jax.jit(train_step, static_argnums=(2,), donate_argnums=(0,))

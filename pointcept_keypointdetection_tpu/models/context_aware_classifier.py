@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..parallel.mesh import psum_if_bound
 from .builder import MODELS, build_model
 from .losses import build_criteria
 from .structure import PointBatch
@@ -48,9 +49,11 @@ class CACSegmentor(nn.Module):
             seg = batch["segment"]
             ok = (seg >= 0) & point.valid
             onehot = jax.nn.one_hot(jnp.where(ok, seg, 0), K) * ok[:, None]
-            counts = jnp.maximum(jnp.sum(onehot, axis=0), 1.0)[:, None]
-            centers = (onehot.T @ feat.astype(jnp.float32)) / counts
-            seen = (jnp.sum(onehot, axis=0) > 0)[:, None]
+            # psum_if_bound: global class centers under the shard_map step
+            cnt = psum_if_bound(jnp.sum(onehot, axis=0))
+            counts = jnp.maximum(cnt, 1.0)[:, None]
+            centers = psum_if_bound(onehot.T @ feat.astype(jnp.float32)) / counts
+            seen = (cnt > 0)[:, None]
             if not self.is_initializing():
                 m = self.center_momentum
                 bank.value = jnp.where(

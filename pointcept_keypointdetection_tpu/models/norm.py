@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..parallel.mesh import psum_if_bound
+
 
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over the point dimension, ignoring invalid rows.
@@ -40,10 +42,12 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             w = valid.astype(jnp.float32)[:, None]
-            count = jnp.maximum(jnp.sum(w), 1.0)
             xf = x.astype(jnp.float32)
-            mean = jnp.sum(xf * w, axis=0) / count
-            var = jnp.sum(jnp.square(xf - mean) * w, axis=0) / count
+            # psum_if_bound: statistics stay GLOBAL under the shard_map train
+            # step (identity under plain jit, where the sharded sum already is)
+            count = jnp.maximum(psum_if_bound(jnp.sum(w)), 1.0)
+            mean = psum_if_bound(jnp.sum(xf * w, axis=0)) / count
+            var = psum_if_bound(jnp.sum(jnp.square(xf - mean) * w, axis=0)) / count
             if not self.is_initializing():
                 ra_mean.value = (1.0 - self.momentum) * ra_mean.value + self.momentum * mean
                 ra_var.value = (1.0 - self.momentum) * ra_var.value + self.momentum * var

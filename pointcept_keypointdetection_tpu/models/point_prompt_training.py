@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..parallel.mesh import psum_if_bound
 from .builder import MODELS, MODULES, build_model
 from .losses import build_criteria
 from .structure import PointBatch
@@ -54,14 +55,16 @@ class PDNorm(nn.Module):
             mean = jnp.take(ra_mean.value, cond, axis=0)
             var = jnp.take(ra_var.value, cond, axis=0)
         else:
-            # per-condition masked statistics in one pass
+            # per-condition masked statistics in one pass; psum_if_bound keeps
+            # them global under the shard_map train step (no-op in plain jit)
             onehot = jax.nn.one_hot(cond, M) * w  # [N, M]
-            count = jnp.maximum(jnp.sum(onehot, axis=0), 1.0)[:, None]  # [M, 1]
+            cnt_m = psum_if_bound(jnp.sum(onehot, axis=0))  # [M]
+            count = jnp.maximum(cnt_m, 1.0)[:, None]  # [M, 1]
             xf = x.astype(jnp.float32)
-            mean_m = (onehot.T @ xf) / count  # [M, C]
-            var_m = (onehot.T @ jnp.square(xf)) / count - jnp.square(mean_m)
+            mean_m = psum_if_bound(onehot.T @ xf) / count  # [M, C]
+            var_m = psum_if_bound(onehot.T @ jnp.square(xf)) / count - jnp.square(mean_m)
             if not self.is_initializing():
-                seen = (jnp.sum(onehot, axis=0) > 0)[:, None]
+                seen = (cnt_m > 0)[:, None]
                 mom = self.momentum * seen
                 ra_mean.value = (1 - mom) * ra_mean.value + mom * mean_m
                 ra_var.value = (1 - mom) * ra_var.value + mom * jnp.maximum(var_m, 0.0)

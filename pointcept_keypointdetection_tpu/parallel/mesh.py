@@ -88,3 +88,18 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
         ns = batch["num_samples"]
         out["num_samples"] = ns * jax.process_count() if multiproc else ns
     return out
+
+
+def psum_if_bound(x, axis: str = "data"):
+    """``lax.psum(x, axis)`` when ``axis`` is bound (i.e. inside a
+    ``jax.shard_map`` over the mesh), identity otherwise.
+
+    Lets batch-statistic sites (MaskedBatchNorm, PDNorm, CAC class centers)
+    compute GLOBAL statistics both under plain GSPMD jit (where the sharded
+    reduction is already global) and under the shard_map train step (where
+    reductions are per-shard unless psum'd) — the SyncBN-equivalence contract
+    (reference `engines/train.py:256-257`) holds on both paths."""
+    try:
+        return jax.lax.psum(x, axis)
+    except NameError:  # axis not bound: plain jit / eager
+        return x

@@ -45,6 +45,19 @@ class SlamConfig:
     loop_desc_topk: int = 2
     loop_desc_min_sim: float = 0.75
     loop_desc_corr_dist: float = 2.0  # ICP gate for descriptor candidates
+    # drift-budget plausibility gate (the perceptual-aliasing defense,
+    # measured on the stadium circuit r5: the two straights are locally
+    # self-similar, so a wrong-place descriptor candidate can PASS local ICP
+    # verification with thousands of inliers — 55 such edges exploded a
+    # 0.09 m trajectory to 12.7 m).  A loop edge implies a correction of
+    # keyframe k's pose; a TRUE revisit's correction is bounded by the
+    # odometry drift accumulated over the chain between j and k, while a
+    # wrong-place match implies teleporting across the world.  Accept only
+    # corrections <= base + rate * chain_path_length.  rate is an upper bound
+    # on plausible odometry drift (10%/m default covers even badly degraded
+    # ICP); base absorbs the verification noise floor.
+    loop_drift_rate: float = 0.10
+    loop_drift_base: float = 1.0
     # information weighting for loop edges: weight = clip((sigma / rmse)^2,
     # max loop_weight_max).  A loop edge measured by keyframe-scan ICP with
     # residual rmse >> the odometry's relative accuracy must NOT outvote the
@@ -200,6 +213,16 @@ class SemanticSLAM:
             )
             inl = int(res.inliers)
             if inl < cfg.loop_min_inliers:
+                continue
+            # drift-budget plausibility gate (see SlamConfig.loop_drift_rate):
+            # the edge's implied correction of keyframe k's pose must be
+            # explicable by odometry drift over the j..k chain
+            chain_len = sum(
+                float(np.linalg.norm(self.kf_t[i + 1] - self.kf_t[i]))
+                for i in range(j, k)
+            )
+            correction = float(np.linalg.norm(np.asarray(res.t) - self.kf_t[k]))
+            if correction > cfg.loop_drift_base + cfg.loop_drift_rate * chain_len:
                 continue
             if best_edge is None or inl > best_edge[0]:
                 best_edge = (inl, j, np.asarray(res.R), np.asarray(res.t), float(res.rmse))

@@ -121,3 +121,106 @@ def test_process_scene_dirs_end_to_end(tmp_path):
     # visible pixel coords are in range
     ok = corr[:, :, 0] >= 0
     assert (corr[ok] >= 0).all() and (corr[ok] < 100).all()
+
+
+def test_colmap_model_roundtrip(tmp_path):
+    """COLMAP text model parse: world->cam quaternion rows invert to the
+    constructed camera-to-world pose; PINHOLE params become the intrinsic."""
+    import numpy as np
+
+    from pointcept_keypointdetection_tpu.datasets.preprocessing.concerto import (
+        load_colmap_model,
+        quat_to_rotmat,
+    )
+
+    rng = np.random.default_rng(3)
+    # a known c2w: rotation about z + translation
+    th = 0.7
+    R_c2w = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    )
+    t_c2w = np.array([1.0, -2.0, 0.5])
+    R_w2c = R_c2w.T
+    t_w2c = -R_w2c @ t_c2w
+    # quaternion of R_w2c (rotation about -z by th)
+    qw, qz = np.cos(th / 2), -np.sin(th / 2)
+    np.testing.assert_allclose(quat_to_rotmat(qw, 0, 0, qz), R_w2c, atol=1e-12)
+
+    (tmp_path / "cameras.txt").write_text(
+        "# comment\n1 PINHOLE 640 480 500.0 510.0 320.0 240.0\n"
+    )
+    (tmp_path / "images.txt").write_text(
+        "# IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME\n"
+        f"1 {qw} 0 0 {qz} {t_w2c[0]} {t_w2c[1]} {t_w2c[2]} 1 frame_000.jpg\n"
+        "1024 2.1 3.4\n"  # POINTS2D line must be skipped
+    )
+    model = load_colmap_model(str(tmp_path))
+    K, pose = model["frame_000.jpg"]
+    np.testing.assert_allclose(K, [[500, 0, 320], [0, 510, 240], [0, 0, 1]])
+    np.testing.assert_allclose(pose[:3, :3], R_c2w, atol=1e-9)
+    np.testing.assert_allclose(pose[:3, 3], t_c2w, atol=1e-9)
+
+
+def test_arkit_traj_and_pincam(tmp_path):
+    import numpy as np
+
+    from pointcept_keypointdetection_tpu.datasets.preprocessing.concerto import (
+        axis_angle_to_rotmat,
+        load_arkit_traj,
+        load_pincam,
+    )
+
+    # axis-angle about x by 90deg, world->cam; camera at (0, 0, 2) in world
+    r = np.array([np.pi / 2, 0.0, 0.0])
+    R_w2c = axis_angle_to_rotmat(r)
+    t_c2w = np.array([0.0, 0.0, 2.0])
+    t_w2c = -R_w2c @ t_c2w
+    (tmp_path / "lowres_wide.traj").write_text(
+        f"12.3456 {r[0]} {r[1]} {r[2]} {t_w2c[0]} {t_w2c[1]} {t_w2c[2]}\n"
+    )
+    traj = load_arkit_traj(str(tmp_path / "lowres_wide.traj"))
+    pose = traj["12.346"]  # 3-decimal key
+    np.testing.assert_allclose(pose[:3, :3], R_w2c.T, atol=1e-9)
+    np.testing.assert_allclose(pose[:3, 3], t_c2w, atol=1e-9)
+
+    (tmp_path / "f.pincam").write_text("256 192 211.5 211.5 128.0 96.0\n")
+    K = load_pincam(str(tmp_path / "f.pincam"))
+    np.testing.assert_allclose(K, [[211.5, 0, 128], [0, 211.5, 96], [0, 0, 1]])
+
+
+def test_process_scene_colmap_end_to_end(tmp_path):
+    """A synthetic COLMAP scene exports images.npy + correspondence.npy with
+    the in-view points mapped to their true pixels."""
+    import numpy as np
+    from PIL import Image
+
+    from pointcept_keypointdetection_tpu.datasets.preprocessing.concerto import (
+        process_scene_colmap,
+    )
+
+    rng = np.random.default_rng(0)
+    coord = np.concatenate(
+        [rng.uniform(-1, 1, (200, 2)), np.full((200, 1), 4.0)], axis=1
+    )  # plane 4 m in front of an identity camera
+    asset = tmp_path / "assets" / "scene0"
+    asset.mkdir(parents=True)
+    np.save(asset / "coord.npy", coord.astype(np.float32))
+
+    scene = tmp_path / "scene0"
+    (scene / "colmap").mkdir(parents=True)
+    (scene / "undistorted_images").mkdir()
+    (scene / "colmap" / "cameras.txt").write_text("1 PINHOLE 64 48 50 50 32 24\n")
+    (scene / "colmap" / "images.txt").write_text("1 1 0 0 0 0 0 0 1 f0.jpg\n")
+    Image.fromarray(np.zeros((48, 64, 3), np.uint8)).save(scene / "undistorted_images" / "f0.jpg")
+
+    v = process_scene_colmap(str(scene), str(asset), frame_gap=1, max_images=4)
+    assert v == 1
+    corr = np.load(asset / "correspondence.npy")
+    assert corr.shape == (200, 1, 2)
+    vis = corr[:, 0, 0] >= 0
+    assert vis.sum() > 50
+    # check one visible point's pixel against the projection formula
+    i = int(np.argmax(vis))
+    x, y = corr[i, 0]
+    assert abs(x - (coord[i, 0] / 4.0 * 50 + 32)) <= 1
+    assert abs(y - (coord[i, 1] / 4.0 * 50 + 24)) <= 1

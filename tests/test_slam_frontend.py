@@ -94,6 +94,10 @@ def test_loop_closure_under_drift_beyond_pose_gate(rng):
     cfg = SlamConfig(
         loop_min_gap=10, loop_max_dist=4.0, loop_min_inliers=200,
         keyframe_scan_size=2048, loop_desc_min_sim=0.6,
+        # this test constructs ~28% drift per meter traveled — far above the
+        # 10% default drift-budget gate (which exists to kill aliased
+        # matches); raise the budget so the TRUE revisit stays plausible
+        loop_drift_rate=0.5,
     )
     slam = SemanticSLAM(cfg)
 
@@ -172,3 +176,161 @@ def test_embedding_breaks_geometric_semantic_tie(rng):
     hits = idx.query(q, max_index=2, topk=2)
     assert hits[0][0] == 1, hits
     assert hits[0][1] > hits[1][1] + 0.05
+
+
+def test_descriptor_proposer_precision(rng):
+    """Proposer precision across perturbed worlds (VERDICT r4 item 6).
+
+    The frontend's gates (loop_desc_min_sim=0.6, topk=2) were tuned on one
+    synthetic world; a wrong loop edge is catastrophic, so this measures, over
+    several distinct worlds: (a) the raw proposer's precision (fraction of
+    descriptor candidates that really are the same place), and (b) that ICP
+    verification rejects EVERY wrong-place proposal — no wrong edge ever
+    enters the graph.  Layout per world: 8 distinct places visited once, then
+    revisited under ~3 m drift (pose gate blind; descriptor-only proposals).
+    """
+    from pointcept_keypointdetection_tpu.slam.frontend import scan_descriptor as sd
+    from pointcept_keypointdetection_tpu.slam.semantic_slam import (
+        SemanticSLAM,
+        SlamConfig,
+    )
+
+    n_places = 8
+    total_proposals, total_correct = 0, 0
+    for world_seed in range(3):
+        places = [_place(rng, 100 * world_seed + i) for i in range(n_places)]
+        cfg = SlamConfig(
+            loop_min_gap=n_places - 1,
+            loop_max_dist=1.0,  # positions are >=20 m apart: pose gate silent
+            loop_min_inliers=200,
+            keyframe_scan_size=2048,
+            loop_desc_min_sim=0.6,
+            loop_desc_topk=2,
+        )
+        slam = SemanticSLAM(cfg)
+        order = list(range(n_places)) * 2  # visit, then revisit (gap 8)
+        drift = np.array([2.2, 2.0, 0.0], np.float32)  # revisit pose error
+        place_of = []
+        for k, p in enumerate(order):
+            scan = places[p][: cfg.keyframe_scan_size]
+            stored = np.zeros((cfg.keyframe_scan_size, 3), np.float32)
+            sv = np.zeros(cfg.keyframe_scan_size, bool)
+            stored[: len(scan)] = scan
+            sv[: len(scan)] = True
+            t_true = np.array([20.0 * p, 0.0, 0.0], np.float32)
+            t_est = t_true + (drift if k >= n_places else 0.0)
+            d, prof = sd(scan, cfg=slam.descriptor_cfg)
+            slam.descriptor_index.add(d, prof)
+            slam.kf_R.append(np.eye(3, dtype=np.float32))
+            slam.kf_t.append(t_est)
+            slam.kf_scan.append(stored)
+            slam.kf_scan_valid.append(sv)
+            slam.kf_frame.append(k)
+            place_of.append(p)
+            if k > 0:
+                slam.edges.append(
+                    (k - 1, k, np.eye(3, dtype=np.float32),
+                     slam.kf_t[k] - slam.kf_t[k - 1], 1.0)
+                )
+
+        proposals = []
+        for k in range(n_places, 2 * n_places):
+            for j, _R0, _t0, _corr in slam._loop_candidates(k):
+                proposals.append((k, j))
+        n_edges0 = len(slam.edges)
+        for k in range(n_places, 2 * n_places):
+            slam._try_loop_closure(k)
+        new_edges = slam.edges[n_edges0:]
+        wrong = [(i, j) for i, j, *_ in new_edges if place_of[i] != place_of[j]]
+        assert not wrong, f"wrong loop edge verified: {wrong} (world {world_seed})"
+        assert len(new_edges) >= n_places // 2, (
+            f"verification starved: only {len(new_edges)} of {n_places} "
+            f"revisits closed (world {world_seed})"
+        )
+        total_proposals += len(proposals)
+        total_correct += sum(1 for k, j in proposals if place_of[k] == place_of[j])
+        # top-1 (highest-similarity descriptor candidate) must be the right
+        # place almost always — measured per query, not per proposal
+        top1 = {}
+        for k, j in proposals:  # _loop_candidates yields in similarity order
+            top1.setdefault(k, j)
+        t1_correct = sum(1 for k, j in top1.items() if place_of[k] == place_of[j])
+        assert t1_correct >= 0.8 * len(top1), (t1_correct, len(top1), world_seed)
+
+    # measured across 3 worlds (r5): topk=2 raw precision ~0.53 — the 2nd
+    # candidate is usually a distractor above min_sim.  That is by design:
+    # the PROPOSER optimizes recall; precision comes from ICP verification +
+    # the drift-budget gate, whose output is asserted wrong-free above.
+    assert total_proposals >= 3 * n_places // 2
+    assert total_correct / total_proposals >= 0.45, (total_correct, total_proposals)
+
+
+def test_drift_budget_gate_rejects_aliased_match(rng):
+    """Perceptual-aliasing defense (measured failure, r5 stadium circuit):
+    two IDENTICAL places far apart alias in descriptor space AND align
+    perfectly under local ICP — only the drift-budget gate can tell the
+    true revisit (correction ~ accumulated drift) from the teleport
+    (correction ~ world size)."""
+    from pointcept_keypointdetection_tpu.slam.frontend import scan_descriptor as sd
+    from pointcept_keypointdetection_tpu.slam.semantic_slam import (
+        SemanticSLAM,
+        SlamConfig,
+    )
+
+    place = _place(rng, 1)  # the aliased geometry, seen at kf0 AND kf12
+    cfg = SlamConfig(
+        loop_min_gap=5, loop_max_dist=1.0, loop_min_inliers=200,
+        keyframe_scan_size=2048, loop_desc_min_sim=0.6, loop_desc_topk=2,
+        loop_drift_rate=0.10, loop_drift_base=1.0,
+    )
+
+    def build(slam, positions, scans):
+        for k, (t, scan) in enumerate(zip(positions, scans)):
+            scan = scan[: cfg.keyframe_scan_size]
+            stored = np.zeros((cfg.keyframe_scan_size, 3), np.float32)
+            sv = np.zeros(cfg.keyframe_scan_size, bool)
+            stored[: len(scan)] = scan
+            sv[: len(scan)] = True
+            d, p = sd(scan, cfg=slam.descriptor_cfg)
+            slam.descriptor_index.add(d, p)
+            slam.kf_R.append(np.eye(3, dtype=np.float32))
+            slam.kf_t.append(np.asarray(t, np.float32))
+            slam.kf_scan.append(stored)
+            slam.kf_scan_valid.append(sv)
+            slam.kf_frame.append(k)
+            if k > 0:
+                slam.edges.append(
+                    (k - 1, k, np.eye(3, dtype=np.float32),
+                     slam.kf_t[k] - slam.kf_t[k - 1], 1.0)
+                )
+
+    # --- aliased: kf12 is GENUINELY 60 m away but sees identical geometry
+    slam = SemanticSLAM(cfg)
+    positions = [np.array([5.0 * k, 0.0, 0.0]) for k in range(13)]
+    scans = [place] + [_place(rng, 10 + k) for k in range(1, 12)] + [place]
+    build(slam, positions, scans)
+    n0 = len(slam.edges)
+    slam._try_loop_closure(12)
+    # ICP would align the identical geometry; the 60 m implied correction
+    # (> 1.0 + 0.1 * 60 m chain) must be rejected
+    assert len(slam.edges) == n0, "aliased teleport edge accepted"
+
+    # --- true revisit: kf12 is BACK at kf0's place, estimated 2.5 m off
+    slam2 = SemanticSLAM(cfg)
+    drift = np.array([1.8, 1.7, 0.0])
+    positions2 = [np.array([5.0 * k, 0.0, 0.0]) for k in range(1, 13)]
+    positions2 = [np.zeros(3)] + positions2[:-1]
+    # a loop: out and back; revisit estimated at drift instead of origin
+    positions2 = (
+        [np.zeros(3)]
+        + [np.array([5.0 * k, 0.0, 0.0]) for k in range(1, 7)]
+        + [np.array([5.0 * (12 - k), 0.0, 0.0]) for k in range(7, 12)]
+        + [drift]
+    )
+    scans2 = [place] + [_place(rng, 30 + k) for k in range(1, 12)] + [place]
+    build(slam2, positions2, scans2)
+    n0 = len(slam2.edges)
+    slam2._try_loop_closure(12)
+    assert len(slam2.edges) == n0 + 1, "true revisit rejected by the gate"
+    i, j, _, Z_t, _w = slam2.edges[-1]
+    assert (i, j) == (0, 12)

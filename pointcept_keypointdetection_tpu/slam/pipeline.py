@@ -34,6 +34,11 @@ class OdometryConfig:
     # validated config (street, KITTI, loop circuit) uses <= 8; the old
     # default 12 just billed 5 extra correspondence searches per scan
     icp_iters: int = 8
+    # re-run the correspondence search only every m-th GN iteration
+    # (registration.point_to_plane_icp search_every): the search is ~90% of
+    # an iteration's cost while inter-iteration pose deltas are cm-scale.
+    # 1 = search every iteration (exact reference semantics)
+    search_every: int = 1
     knn_k: int = 5
     max_corr_dist: float = 1.0
     huber_delta: float = 0.3
@@ -160,6 +165,7 @@ class LidarOdometry:
                     index_depth=index_depth,
                     cell_size=cfg.map_voxel if unit_cell else None,
                     lattice_origin=cfg.map_origin if unit_cell else None,
+                    search_every=cfg.search_every,
                 )
                 return res.R, res.t, res.rmse, res.inliers
 

@@ -109,6 +109,7 @@ def point_to_plane_icp(
     index_depth: Optional[int] = None,
     cell_size: Optional[float] = None,
     lattice_origin=None,
+    search_every: int = 1,
 ) -> RegistrationResult:
     """``cell_cap`` must cover the densest possible search cell:
     ceil(max_corr_dist / map_voxel + 1)^3 points fit in one cell ring —
@@ -129,7 +130,15 @@ def point_to_plane_icp(
     then holds at most one point, so ``cell_cap`` drops to 1 and the
     candidate set shrinks from ring27 x cap64 = 1728 rows to a sphere-pruned
     ~3-cell-radius ring of ~180 single rows, with no per-candidate code
-    check (distance-only exactness; invalid rows sit at 1e9)."""
+    check (distance-only exactness; invalid rows sit at 1e9).
+
+    ``search_every``: re-run the correspondence SEARCH only every m-th
+    iteration, reusing the previous associations in between (their residual
+    distances/validity are still recomputed from the CURRENT pose, so gating
+    stays exact for the fixed associations).  Pose updates between GN
+    iterations are cm-scale while the search costs ~90% of an iteration
+    (candidate gathers + join, PERF.md r4) — lazy re-association is the
+    classic ICP economy.  1 = reference semantics (search every iteration)."""
     n = source.shape[0]
 
     if bucketed:
@@ -155,12 +164,25 @@ def point_to_plane_icp(
         def corr(p_w):
             return knn(p_w, target, k, base_valid=target_valid)
 
-    def body(_, carry):
-        R, t, _, _ = carry
+    def body(i, carry):
+        R, t, _, _, idx_prev = carry
         p_w = source @ R.T + t  # [N, 3]
-        idx, sqd = corr(p_w)
+        if search_every <= 1:
+            idx, _ = corr(p_w)
+        else:
+            idx = jax.lax.cond(
+                (i % search_every) == 0,
+                lambda: corr(p_w)[0],
+                lambda: idx_prev,
+            )
         neighbors = jnp.take(target, idx, axis=0)  # [N, k, 3]
-        nbr_valid = sqd < max_corr_dist**2
+        # distances recomputed from the CURRENT pose (not the search-time
+        # pose), so the correspondence gate stays exact under lazy search.
+        # target_valid gate: the search's 1e9-sentinel rows implicitly gated
+        # invalid map rows; a recomputed distance to a zero-filled invalid
+        # row would not
+        sqd = jnp.sum(jnp.square(neighbors - p_w[:, None, :]), axis=-1)
+        nbr_valid = (sqd < max_corr_dist**2) & jnp.take(target_valid, idx, axis=0)
         centroid, normal, planarity = _fit_planes(neighbors, nbr_valid)
 
         r = jnp.sum(normal * (p_w - centroid), axis=-1)  # [N]
@@ -194,9 +216,18 @@ def point_to_plane_icp(
         # more full correspondence round for a one-GN-step-fresher number)
         wsum = jnp.maximum(jnp.sum(good), 1)
         rmse = jnp.sqrt(jnp.sum(jnp.square(r) * good) / wsum)
-        return R_new, t_new, rmse, jnp.sum(good)
+        return R_new, t_new, rmse, jnp.sum(good), idx
 
-    R, t, rmse, inliers = jax.lax.fori_loop(
-        0, iters, body, (R_init, t_init, jnp.asarray(0.0), jnp.asarray(0, jnp.int32))
+    R, t, rmse, inliers, _ = jax.lax.fori_loop(
+        0,
+        iters,
+        body,
+        (
+            R_init,
+            t_init,
+            jnp.asarray(0.0),
+            jnp.asarray(0, jnp.int32),
+            jnp.zeros((n, k), jnp.int32),
+        ),
     )
     return RegistrationResult(R=R, t=t, rmse=rmse, inliers=inliers)

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--data", default="/tmp/synth_kitti_chip")
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--search-every", type=int, default=1,
+                    help="correspondence search every m-th ICP iteration (lazy re-association)")
     args = ap.parse_args()
 
     seq_dir = os.path.join(args.data, "dataset", "sequences", "00", "velodyne")
@@ -57,7 +59,7 @@ def main():
     from pointcept_keypointdetection_tpu.slam.pipeline import LidarOdometry, OdometryConfig
 
     scans = sorted(glob.glob(os.path.join(seq_dir, "*.bin")))[: args.frames]
-    odo = LidarOdometry(OdometryConfig())
+    odo = LidarOdometry(OdometryConfig(search_every=args.search_every))
     print(f"# backend: {jax.default_backend()}", file=sys.stderr)
 
     t_compile = time.perf_counter()
@@ -79,6 +81,7 @@ def main():
     print(
         f"slam_odometry_scans_per_sec: {n / dt:.3f} "
         f"({n} scans in {dt:.1f}s, scan_cap {odo.cfg.scan_capacity}, "
+        f"search_every {odo.cfg.search_every}, "
         f"map_cap {odo.cfg.map_capacity}, backend {jax.default_backend()})"
     )
 

@@ -146,7 +146,15 @@ def _build_workload():
         chain_cpe0=os.environ.get("PKT_BENCH_CPE0", "direct"),
         stem_conv=os.environ.get("PKT_BENCH_STEMCONV", "cell_packed"),
     )
-    model = MODELS.build(dict(type="DefaultSegmentor", backbone=backbone, criteria=()))
+    # DefaultSegmentorV2 + 20-class head: the reference semseg forward ends
+    # in a linear classifier (`models/default.py:94`); earlier rounds
+    # measured the bare backbone (64-dim features as "logits") — the head
+    # costs ~0.26 GFLOP, <1% of the forward, but the workload should be
+    # what the unit string claims
+    model = MODELS.build(dict(
+        type="DefaultSegmentorV2", backbone=backbone, criteria=(),
+        num_classes=20, backbone_out_channels=64,
+    ))
     point = PointBatch(
         coord=jnp.asarray(coords.reshape(-1, 3)),
         feat=jnp.asarray(feat.reshape(-1, 6), jnp.bfloat16),

@@ -95,3 +95,47 @@ def test_shard_map_falls_back_on_indivisible_batch(tmp_path):
     assert ns == 7
     _, metrics = tr._train_step(tr.state, batch, ns)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_grad_compression_halves_allreduce(tmp_path):
+    """grad_compress="bf16" (the reference's fp16 DDP comm-hook analogue,
+    `engines/defaults.py:39-42`) compresses the gradient pmean: all-reduce
+    volume drops ~2x and the step still trains."""
+    import jax
+
+    cfg = default_config_parser(
+        "configs/synthetic/semseg-spunet-mini.py",
+        {
+            "save_path": f"{tmp_path}/gc",
+            "batch_size": 8,
+            "eval_epoch": 1,
+            "shard_map_model": True,
+            "grad_compress": "bf16",
+        },
+    )
+    tr = TRAINERS.build({"type": "DefaultTrainer", "cfg": cfg})
+    batch_np = next(iter(tr.train_loader))
+    batch = shard_batch(batch_np, tr.mesh)
+    ns = int(batch.pop("num_samples"))
+
+    # Inspect the LOWERED (backend-independent) IR: the gradient all-reduces
+    # must be bf16.  (The compiled CPU module upcasts bf16 collectives to f32
+    # during legalization — the wire-width win is a TPU property, so the
+    # compiled-bytes assertion lives at the IR level.)
+    txt = tr._train_step.lower(tr.state, batch, ns).as_text().splitlines()
+    bf16 = f32 = 0
+    for i, line in enumerate(txt):
+        if '"stablehlo.all_reduce"' not in line:
+            continue
+        for j in range(i, min(i + 12, len(txt))):
+            if "}) : (tensor<" in txt[j]:
+                if "bf16" in txt[j]:
+                    bf16 += 1
+                elif "f32" in txt[j]:
+                    f32 += 1
+                break
+    n_param_leaves = len(jax.tree_util.tree_leaves(tr.state.params))
+    assert bf16 >= n_param_leaves, (bf16, f32, n_param_leaves)
+
+    _, metrics = tr._train_step(tr.state, batch, ns)
+    assert np.isfinite(float(metrics["loss"]))

@@ -72,6 +72,19 @@ def _levels():
     return out
 
 
+# Measured relay-chip ms for op classes with microbench coverage
+# (tools/profile_ops.py on the live backend, r5 session: `kmap3sl conv
+# attn1024`, plus PERF.md r4 for the stem).  The measured/projected ratio IS
+# the relay's element-touch-pricing distortion, op class by op class.
+RELAY_MEASURED_MS = {
+    "kmap join L0 (n=102400)": (17.5, "kmap3sl microbench @102k"),
+    "stem cell-packed conv k=5": (50.0, "PERF.md r4 stem attack"),
+    "enc0 xCPE conv x2": (2 * 12.1, "conv microbench c=32 x2"),
+    "dec0 xCPE conv x2": (2 * 8.9, "conv microbench c=64 x2"),
+    "enc0 patch attention x2": (0.4, "attn1024 pallas microbench (~0.2/blk)"),
+}
+
+
 @dataclass
 class OpClass:
     name: str
@@ -237,11 +250,16 @@ def project(verbose=True, out=sys.stderr):
             rows = table
     if verbose:
         print("# v5e projection of the bench forward (rates in module docstring)", file=out)
-        print(f"# {'op class':44s} {'bytes(MB)':>10s} {'GFLOP':>8s} {'ms':>8s}", file=out)
+        print(
+            f"# {'op class':44s} {'bytes(MB)':>10s} {'GFLOP':>8s} {'ms':>8s} {'relay ms':>9s}",
+            file=out,
+        )
         for op in sorted(rows, key=lambda o: -o.seconds()):
+            relay = RELAY_MEASURED_MS.get(op.name)
+            relay_s = f"{relay[0]:9.1f}" if relay else " " * 9
             print(
                 f"# {op.name:44s} {op.bytes / 1e6:10.2f} {op.flops / 1e9:8.2f} "
-                f"{op.seconds() * 1e3:8.3f}  {op.note}",
+                f"{op.seconds() * 1e3:8.3f} {relay_s}  {op.note}",
                 file=out,
             )
         for sm, t in totals.items():

@@ -141,7 +141,18 @@ class LidarOdometry:
             # the backend picks its mechanism.
             unit_cell = jax.default_backend() == "tpu"
             span_cell = cfg.map_voxel if unit_cell else cfg.max_corr_dist
-            span = 2.0 * (cfg.map_radius + cfg.max_range) / span_cell + 8
+            # The correspondence search indexes the map AS PRUNED BY THE LAST
+            # STEP: its span is <= 2*map_radius (+ one max_motion of ego
+            # drift), NOT map_radius + max_range — the scan's reach beyond
+            # the pruned map matters only for the INSERT below (which keeps
+            # its own wider bound).  Queries outside the index domain hit the
+            # sentinel and correctly miss (no map point exists there).  The
+            # tighter bound is what keeps default-scale configs single-lane:
+            # at map_radius 150 m / 0.4 m cells the old
+            # 2*(radius+max_range) bound needed depth 11 (3*11 > 31 -> the
+            # two-lane lexsort join path, ~2x the search cost; measured
+            # 515 -> ~190 ms/search on the relay chip).
+            span = (2.0 * cfg.map_radius + 2.0 * cfg.max_motion) / span_cell + 8
             index_depth = max(int(np.ceil(np.log2(span))), 4)
             if 3 * index_depth > 31:
                 index_depth = None  # fall back to 16-bit two-lane codes

@@ -132,13 +132,15 @@ def point_to_plane_icp(
     ~3-cell-radius ring of ~180 single rows, with no per-candidate code
     check (distance-only exactness; invalid rows sit at 1e9).
 
-    ``search_every``: re-run the correspondence SEARCH only every m-th
-    iteration, reusing the previous associations in between (their residual
-    distances/validity are still recomputed from the CURRENT pose, so gating
-    stays exact for the fixed associations).  Pose updates between GN
-    iterations are cm-scale while the search costs ~90% of an iteration
-    (candidate gathers + join, PERF.md r4) — lazy re-association is the
-    classic ICP economy.  1 = reference semantics (search every iteration)."""
+    ``search_every``: re-run the correspondence SEARCH (and the plane fits
+    over its neighbor sets) only every m-th iteration.  The fitted local
+    plane is a property of the map surface, not of the query pose, so
+    between searches each iteration only recomputes the point-to-plane
+    residual against the carried (centroid, normal) and re-gates on it —
+    the search + [N,k,3] gathers + eigenfits, ~95% of an iteration's cost,
+    drop out entirely.  Pose updates between GN iterations are cm-scale, so
+    this is the classic lazy-ICP economy; 1 = reference semantics (search
+    every iteration)."""
     n = source.shape[0]
 
     if bucketed:
@@ -164,31 +166,37 @@ def point_to_plane_icp(
         def corr(p_w):
             return knn(p_w, target, k, base_valid=target_valid)
 
-    def body(i, carry):
-        R, t, _, _, idx_prev = carry
-        p_w = source @ R.T + t  # [N, 3]
-        if search_every <= 1:
-            idx, _ = corr(p_w)
-        else:
-            idx = jax.lax.cond(
-                (i % search_every) == 0,
-                lambda: corr(p_w)[0],
-                lambda: idx_prev,
-            )
+    def search_and_fit(p_w):
+        """Correspondence search + plane fits: (centroid, normal, planarity,
+        nbr_count) per source point.  The fitted local plane is a property
+        of the MAP surface, not of the query pose, so under lazy
+        re-association (search_every > 1) it is carried unchanged between
+        searches — per-iteration work reduces to residual + weights + the
+        6x6 solve.  target_valid gate: the search's 1e9-sentinel rows price
+        invalid map rows out of the distance top-k AND out of nbr_valid."""
+        idx, sqd = corr(p_w)
         neighbors = jnp.take(target, idx, axis=0)  # [N, k, 3]
-        # distances recomputed from the CURRENT pose (not the search-time
-        # pose), so the correspondence gate stays exact under lazy search.
-        # target_valid gate: the search's 1e9-sentinel rows implicitly gated
-        # invalid map rows; a recomputed distance to a zero-filled invalid
-        # row would not
-        sqd = jnp.sum(jnp.square(neighbors - p_w[:, None, :]), axis=-1)
         nbr_valid = (sqd < max_corr_dist**2) & jnp.take(target_valid, idx, axis=0)
         centroid, normal, planarity = _fit_planes(neighbors, nbr_valid)
+        return centroid, normal, planarity, jnp.sum(nbr_valid, axis=-1)
+
+    def body(i, carry):
+        R, t, _, _, fit_prev = carry
+        p_w = source @ R.T + t  # [N, 3]
+        if search_every <= 1:
+            fit = search_and_fit(p_w)
+        else:
+            fit = jax.lax.cond(
+                (i % search_every) == 0,
+                lambda: search_and_fit(p_w),
+                lambda: fit_prev,
+            )
+        centroid, normal, planarity, nbr_count = fit
 
         r = jnp.sum(normal * (p_w - centroid), axis=-1)  # [N]
         good = (
             source_valid
-            & (jnp.sum(nbr_valid, axis=-1) >= 3)
+            & (nbr_count >= 3)
             & (planarity > min_planarity)
             & (jnp.abs(r) < max_corr_dist)
         )
@@ -216,18 +224,18 @@ def point_to_plane_icp(
         # more full correspondence round for a one-GN-step-fresher number)
         wsum = jnp.maximum(jnp.sum(good), 1)
         rmse = jnp.sqrt(jnp.sum(jnp.square(r) * good) / wsum)
-        return R_new, t_new, rmse, jnp.sum(good), idx
+        return R_new, t_new, rmse, jnp.sum(good), fit
 
+    fit0 = (
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.int32),
+    )
     R, t, rmse, inliers, _ = jax.lax.fori_loop(
         0,
         iters,
         body,
-        (
-            R_init,
-            t_init,
-            jnp.asarray(0.0),
-            jnp.asarray(0, jnp.int32),
-            jnp.zeros((n, k), jnp.int32),
-        ),
+        (R_init, t_init, jnp.asarray(0.0), jnp.asarray(0, jnp.int32), fit0),
     )
     return RegistrationResult(R=R, t=t, rmse=rmse, inliers=inliers)

@@ -218,8 +218,17 @@ def load_colmap_model(sfm_dir: str):
             if not line or line.startswith("#"):
                 continue
             parts = line.split()
-            if len(parts) < 10 or "." not in parts[9]:
-                continue  # the alternating POINTS2D lines
+            if len(parts) < 10:
+                continue  # short POINTS2D rows / malformed
+            # images.txt alternates IMAGE rows with POINTS2D rows (X Y ID
+            # triplets, all numeric).  An image row's 10th field is the file
+            # NAME — the one field that does not parse as a number; a points
+            # row's parts[9] is a pixel coordinate and does
+            try:
+                float(parts[9])
+                continue  # POINTS2D row
+            except ValueError:
+                pass  # image row
             qw, qx, qy, qz = (float(x) for x in parts[1:5])
             t = np.array([float(x) for x in parts[5:8]], np.float64)
             cam_id, name = parts[8], parts[9]
@@ -230,26 +239,49 @@ def load_colmap_model(sfm_dir: str):
     return frames
 
 
-def load_arkit_traj(traj_path: str):
-    """ARKitScenes ``lowres_wide.traj`` -> {timestamp(str, 3dp): c2w 4x4}.
+class ArkitTraj:
+    """ARKitScenes ``lowres_wide.traj``: camera-to-world poses queryable by
+    NEAREST timestamp (frame filenames and .traj rows are systematically off
+    by ~1 ms in some captures, so exact-string matching silently drops
+    frames — the reference's own loader matches with tolerance)."""
 
-    Rows are ``ts rx ry rz tx ty tz`` with axis-angle rotation, WORLD->CAMERA
-    (reference `concerto/arkitscenes/preprocess_arkitscenes.py:112-130`
-    inverts them the same way); keys are the timestamp rounded to 3 decimals,
-    matching the ``<video_id>_<ts>.png`` frame naming.
-    """
-    out = {}
+    def __init__(self, ts: np.ndarray, poses: np.ndarray):
+        order = np.argsort(ts)
+        self.ts = ts[order]
+        self.poses = poses[order]
+
+    def nearest(self, t: float, tol: float = 0.011):
+        """c2w 4x4 of the trajectory row nearest ``t``, or None beyond tol."""
+        if len(self.ts) == 0:
+            return None
+        i = int(np.searchsorted(self.ts, t))
+        best, best_dt = None, tol
+        for j in (i - 1, i):
+            if 0 <= j < len(self.ts) and abs(self.ts[j] - t) <= best_dt:
+                best, best_dt = j, abs(self.ts[j] - t)
+        return None if best is None else self.poses[best]
+
+
+def load_arkit_traj(traj_path: str) -> ArkitTraj:
+    """Parse ``lowres_wide.traj``: rows ``ts rx ry rz tx ty tz`` with
+    axis-angle rotation, WORLD->CAMERA (reference
+    `concerto/arkitscenes/preprocess_arkitscenes.py:112-130` inverts the
+    same way); returns an ``ArkitTraj`` for nearest-timestamp lookup."""
+    ts_list, poses = [], []
     with open(traj_path) as f:
         for line in f:
             parts = line.split()
             if len(parts) < 7:
                 continue
-            ts = f"{float(parts[0]):.3f}"
             w2c = np.eye(4)
             w2c[:3, :3] = axis_angle_to_rotmat(np.array([float(x) for x in parts[1:4]]))
             w2c[:3, 3] = [float(x) for x in parts[4:7]]
-            out[ts] = np.linalg.inv(w2c)
-    return out
+            ts_list.append(float(parts[0]))
+            poses.append(np.linalg.inv(w2c))
+    return ArkitTraj(
+        np.asarray(ts_list, np.float64),
+        np.stack(poses) if poses else np.zeros((0, 4, 4)),
+    )
 
 
 def load_pincam(path: str) -> np.ndarray:
@@ -332,9 +364,8 @@ def process_scene_arkit(
     def gen():
         for fp in frames:
             stem = os.path.splitext(os.path.basename(fp))[0]
-            ts = stem.split("_")[-1]
-            key = f"{float(ts):.3f}"
-            if key not in traj:
+            pose = traj.nearest(float(stem.split("_")[-1]))
+            if pose is None:
                 continue
             pincam = os.path.join(scene_dir, "lowres_wide_intrinsics", stem + ".pincam")
             if not os.path.exists(pincam):
@@ -348,7 +379,7 @@ def process_scene_arkit(
             yield (
                 np.asarray(Image.open(fp).convert("RGB")),
                 load_pincam(pincam),
-                traj[key],
+                pose,
                 depth,
                 1000.0,
             )
@@ -488,7 +519,11 @@ def main():
         help="root of preprocessed point assets (<split>/<scene>/coord.npy); "
         "images.npy/correspondence.npy are written beside them",
     )
-    parser.add_argument("--frame_gap", type=int, default=75)
+    parser.add_argument(
+        "--frame_gap", type=int, default=None,
+        help="frame subsampling stride; default per layout: 75 (.sens 30fps "
+        "streams), 1 (exported dirs), 5 (COLMAP), 10 (ARKit)",
+    )
     parser.add_argument("--max_images", type=int, default=8)
     parser.add_argument("--depth_tol", type=float, default=0.05)
     parser.add_argument("--sfm_subdir", default="colmap", help="COLMAP text-model subdir (ScanNet++ scenes)")
@@ -510,7 +545,7 @@ def main():
         v = process_scene_sens(
             sens_path,
             asset_dirs[scene_id],
-            frame_gap=args.frame_gap,
+            frame_gap=args.frame_gap if args.frame_gap is not None else 75,
             max_images=args.max_images,
             depth_tol=args.depth_tol,
         )
@@ -524,7 +559,7 @@ def main():
             v = process_scene_dirs(
                 scene_dir,
                 asset_dirs[scene_id],
-                frame_gap=args.frame_gap,
+                frame_gap=args.frame_gap if args.frame_gap is not None else 1,
                 max_images=args.max_images,
                 depth_tol=args.depth_tol,
             )
@@ -533,7 +568,7 @@ def main():
             v = process_scene_colmap(
                 scene_dir,
                 asset_dirs[scene_id],
-                frame_gap=args.frame_gap,
+                frame_gap=args.frame_gap if args.frame_gap is not None else 5,
                 max_images=args.max_images,
                 depth_tol=args.depth_tol,
                 sfm_subdir=args.sfm_subdir,
@@ -544,7 +579,7 @@ def main():
             v = process_scene_arkit(
                 scene_dir,
                 asset_dirs[scene_id],
-                frame_gap=args.frame_gap,
+                frame_gap=args.frame_gap if args.frame_gap is not None else 10,
                 max_images=args.max_images,
                 depth_tol=args.depth_tol,
             )

@@ -149,12 +149,17 @@ def test_colmap_model_roundtrip(tmp_path):
     (tmp_path / "cameras.txt").write_text(
         "# comment\n1 PINHOLE 640 480 500.0 510.0 320.0 240.0\n"
     )
+    # a realistic long POINTS2D row (X Y POINT3D_ID triplets, >= 10 tokens
+    # with parts[9] a pixel coordinate) must be skipped, not parsed as a frame
+    pts2d = " ".join(f"{100.5 + i} {200.25 + i} -1" for i in range(6))
     (tmp_path / "images.txt").write_text(
         "# IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME\n"
         f"1 {qw} 0 0 {qz} {t_w2c[0]} {t_w2c[1]} {t_w2c[2]} 1 frame_000.jpg\n"
-        "1024 2.1 3.4\n"  # POINTS2D line must be skipped
+        f"{pts2d}\n"
     )
+
     model = load_colmap_model(str(tmp_path))
+    assert list(model) == ["frame_000.jpg"]  # POINTS2D row not misparsed
     K, pose = model["frame_000.jpg"]
     np.testing.assert_allclose(K, [[500, 0, 320], [0, 510, 240], [0, 0, 1]])
     np.testing.assert_allclose(pose[:3, :3], R_c2w, atol=1e-9)
@@ -179,7 +184,11 @@ def test_arkit_traj_and_pincam(tmp_path):
         f"12.3456 {r[0]} {r[1]} {r[2]} {t_w2c[0]} {t_w2c[1]} {t_w2c[2]}\n"
     )
     traj = load_arkit_traj(str(tmp_path / "lowres_wide.traj"))
-    pose = traj["12.346"]  # 3-decimal key
+    # nearest-timestamp lookup with ~1 ms tolerance (frame names and traj
+    # rows are systematically off by ~1 ms in some ARKitScenes captures)
+    pose = traj.nearest(12.345)
+    assert pose is not None
+    assert traj.nearest(12.400) is None  # beyond tolerance
     np.testing.assert_allclose(pose[:3, :3], R_w2c.T, atol=1e-9)
     np.testing.assert_allclose(pose[:3, 3], t_c2w, atol=1e-9)
 

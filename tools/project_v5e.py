@@ -233,8 +233,8 @@ def build_table(sort_model: str = "bitonic") -> List[OpClass]:
             f"{kind}{s} order gather x{depth}", depth, 2 * n * c * BF16 + n * 4, 0, "",
         ))
 
-    # -- 20-class seg head (reference includes it; bench's DefaultSegmentor
-    # emits features, so this is an upper-bound add) -----------------------
+    # -- 20-class seg head (part of the measured bench workload since r5:
+    # bench.py builds DefaultSegmentorV2 with num_classes=20) --------------
     ops.append(OpClass("seg head 64->20", 1, N0 * (64 + 20) * BF16, 2 * N0 * 64 * 20, ""))
     return ops
 

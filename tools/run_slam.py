@@ -186,8 +186,12 @@ def _build_semseg(cfg):
                 pred = jnp.argmax(out["seg_logits"], -1)
                 # learned scan embedding for the SLAM place-recognition
                 # frontend (slam/frontend.py): masked mean pool of the
-                # backbone features the forward already computed
-                feat = mods["intermediates"]["backbone_feat"][0]
+                # backbone features the forward already computed.  Segmentors
+                # other than DefaultSegmentor/V2 may not sow backbone_feat —
+                # fall back to pooled logits (still the model's learned
+                # representation) instead of crashing
+                inter = mods.get("intermediates", {})
+                feat = inter.get("backbone_feat", (out["seg_logits"],))[0]
                 w = point.valid.astype(feat.dtype)[:, None]
                 emb = (feat * w).sum(0) / jnp.maximum(w.sum(), 1.0)
                 return pred, emb.astype(jnp.float32)

@@ -201,7 +201,16 @@ class LidarOdometry:
             world = scan @ R.T + t
             # a scan registered poorly must NOT be fused into the map
             insert_valid = valid & fuse
-            map_span = 2.0 * (cfg.map_radius + cfg.max_range) / cfg.map_voxel + 8
+            # merged-set span = pruned map (2*map_radius around t_prev) UNION
+            # the scan's reach (2*max_range around t) — both centered within
+            # max_motion of each other, so 2*max(radius, range) + slack, NOT
+            # the sum.  Same depth-budget fix as the search index above: the
+            # tight bound keeps default-scale configs at depth 10 and the
+            # insert's dedup sort single-lane (insert() rebases to the merged
+            # set's own min cell when 3*code_depth <= 31).
+            map_span = (
+                2.0 * max(cfg.map_radius, cfg.max_range) + 2.0 * cfg.max_motion
+            ) / cfg.map_voxel + 8
             map_depth = max(int(np.ceil(np.log2(map_span))), 4)
             new_map = insert(
                 vmap, world, insert_valid,

@@ -277,14 +277,28 @@ def build_knn_index(
     return KnnIndex(pad_hi=pad_hi, pad_lo=pad_lo, packed=packed, origin=origin)
 
 
-def _ring_offsets(radius: int) -> np.ndarray:
+def _ring_offsets(radius: int, corr_cells: Optional[float] = None) -> np.ndarray:
     """Sphere-pruned cell ring: |d|_inf <= r AND |d|_2 <= r + sqrt(3) (a cell
     within L2 reach of the query's cell; prunes ~45% of the cube's corners
-    at r=3 with zero recall loss for L2-ball neighbor queries)."""
+    at r=3 with zero recall loss for L2-ball neighbor queries).
+
+    ``corr_cells`` (= max_corr_dist / cell_size) switches to the EXACT
+    min-cell-distance prune for distance-GATED searches: a candidate cell at
+    offset d can hold a point within max_corr of a query in cell 0 only if
+    ||max(|d|-1, 0)||_2 <= corr_cells (per-axis minimum separation is
+    (|d_i|-1) cells).  18% fewer candidates than the generic rule at the
+    SLAM shape (r=3, corr_cells=2.5: 335 -> 275) — exact for callers whose
+    own distance gate discards beyond-max_corr neighbors (ICP), NOT for
+    pure nearest-neighbor semantics (a true nearest farther than max_corr
+    would be missed)."""
     r = radius
     g = np.arange(-r, r + 1)
     d = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
-    keep = np.sum(d * d, axis=1) <= (r + np.sqrt(3.0)) ** 2
+    if corr_cells is not None:
+        m = np.maximum(np.abs(d) - 1, 0)
+        keep = np.sum(m * m, axis=1) <= corr_cells**2
+    else:
+        keep = np.sum(d * d, axis=1) <= (r + np.sqrt(3.0)) ** 2
     return d[keep].astype(np.int32)
 
 
@@ -300,6 +314,7 @@ def knn_query_index(
     ring_radius: int = 1,
     verify_codes: bool = True,
     lattice_origin=None,
+    ring_corr_cells: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Query a prebuilt index. ``cell_size``/``cell_cap``/``depth``/
     ``lattice_origin`` must match the build. Queries whose ring falls outside
@@ -324,7 +339,7 @@ def knn_query_index(
     shifted = query if lattice_origin is None else query - jnp.asarray(lattice_origin, query.dtype)
     qcell = jnp.floor(shifted * inv).astype(jnp.int32) - index.origin
 
-    offs = _ring_offsets(ring_radius)
+    offs = _ring_offsets(ring_radius, corr_cells=ring_corr_cells)
     n_off = offs.shape[0]
     qc = qcell[:, None, :] + jnp.asarray(offs)[None, :, :]  # [Q, n_off, 3]
     q_in = jnp.all((qc >= 0) & (qc < (1 << depth)), axis=-1).reshape(-1)
